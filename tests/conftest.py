@@ -1,0 +1,16 @@
+"""Test env: force a virtual 8-device CPU mesh before jax initializes."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"    # force: never run tests on the TPU
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,127 @@
+"""I/O plane tests: TCP NV12 ingest (loopback fake capture board, per
+SURVEY.md §4), frame queue policies, egress framing."""
+
+import socket
+import struct
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from video_stitcher_tpu.config import StitcherConfig
+from video_stitcher_tpu.io_plane.queues import FrameQueue
+from video_stitcher_tpu.io_plane.ingest import CaptureIngest
+
+
+def test_frame_queue_policies():
+    q = FrameQueue(max_size=2, drop_oldest=True)
+    for i in range(4):
+        q.push(i)
+    assert len(q) == 2
+    assert q.pop(0.1) == 2       # oldest dropped
+    q2 = FrameQueue(max_size=0)
+    assert q2.pop(0.05) is None  # timeout
+
+
+def _stream_frames(port, frames, chunk=1024):
+    s = socket.create_connection(("127.0.0.1", port), timeout=5)
+    data = b"".join(f.tobytes() for f in frames)
+    for i in range(0, len(data), chunk):
+        s.sendall(data[i:i + chunk])
+    time.sleep(0.2)
+    s.close()
+
+
+@pytest.mark.parametrize("backend", ["python", "native"])
+def test_tcp_nv12_ingest_loopback(backend):
+    """Fake capture boards stream NV12 over loopback; ingest must reassemble
+    per-camera frames in order (networking.cpp:15-65 protocol)."""
+    if backend == "native":
+        from video_stitcher_tpu.io_plane import native
+        if native.load() is None:
+            pytest.skip("native lib unavailable")
+    port = 16660 + (0 if backend == "python" else 1)
+    cfg = StitcherConfig(num_images=2, capture_img_width=64,
+                         capture_img_height=48, capture_tcp_port=port)
+    ing = CaptureIngest(cfg, debug_order=True, backend=backend)
+    ing.start()
+    try:
+        rng = np.random.default_rng(0)
+        cams = []
+        for c in range(2):
+            cams.append([rng.integers(0, 255, (48, 64)).astype(np.uint8)
+                         for _ in range(3)])
+        threads = [threading.Thread(target=_stream_frames,
+                                    args=(port, cams[c])) for c in range(2)]
+        # connect sequentially so debug-order slot assignment is deterministic
+        threads[0].start()
+        time.sleep(0.3)
+        threads[1].start()
+        for t in threads:
+            t.join()
+        for c in range(2):
+            for k in range(3):
+                got = ing.pop_frame(c, timeout=5.0)
+                assert got is not None, f"cam {c} frame {k} missing"
+                np.testing.assert_array_equal(got, cams[c][k])
+    finally:
+        ing.stop()
+
+
+def test_egress_height_prelude_and_mjpeg():
+    """Player egress: height prelude int32 then length-prefixed JPEG frames,
+    against a loopback 'player' server (timed.cpp:296-311 protocol)."""
+    port = 15555
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", port))
+    server.listen(1)
+    received = {}
+
+    def player():
+        conn, _ = server.accept()
+        def read_n(n):
+            buf = b""
+            while len(buf) < n:
+                chunk = conn.recv(n - len(buf))
+                if not chunk:
+                    raise EOFError
+                buf += chunk
+            return buf
+        received["height"] = struct.unpack("<i", read_n(4))[0]
+        ln = struct.unpack("<I", read_n(4))[0]
+        received["jpeg"] = read_n(ln)
+        conn.close()
+
+    t = threading.Thread(target=player)
+    t.start()
+    from video_stitcher_tpu.io_plane.egress import PlayerEgress
+    cfg = StitcherConfig(player_address="127.0.0.1", player_tcp_port=port,
+                         send_results=True)
+    eg = PlayerEgress(cfg, encoder="mjpeg")
+    frame = np.zeros((120, 200, 3), np.uint8)
+    frame[40:80, 50:150] = (255, 128, 0)
+    eg.send_frame(frame)
+    t.join(timeout=5)
+    eg.close()
+    server.close()
+    assert received["height"] == 120
+    import cv2
+    dec = cv2.imdecode(np.frombuffer(received["jpeg"], np.uint8),
+                       cv2.IMREAD_COLOR)
+    assert dec.shape == (120, 200, 3)
+    # orange block roughly survives JPEG
+    assert abs(int(dec[60, 100, 2]) - 255) < 30
+
+
+def test_synthetic_source_and_runner_smoke():
+    """Mini end-to-end: synthetic source -> runner for a few frames."""
+    from video_stitcher_tpu.pipeline.runner import Runner
+    cfg = StitcherConfig(num_images=4, input_width=128, input_height=72,
+                         enable_local=False, recalibrate=False,
+                         output_width=256, output_height=128,
+                         save_video=False, show_out=False)
+    r = Runner(cfg, max_frames=3)
+    r.run()
+    assert r.frames_done == 3

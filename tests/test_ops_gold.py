@@ -1,0 +1,135 @@
+"""Gold tests: JAX ops vs OpenCV reference semantics.
+
+Mirrors the reference's GPU-vs-CPU gold pattern
+(cv/cudawarping/test/test_remap.cpp:52-110 etc.): every kernel is compared
+against the library implementation the reference app actually calls.
+"""
+
+import cv2
+import numpy as np
+import pytest
+
+from video_stitcher_tpu.ops import remap, resize, pyr_down, pyr_up, color, dilate3x3
+from video_stitcher_tpu.ops.pyramid import laplacian_pyramid, collapse_laplacian
+
+BORDER_MAP = {
+    "constant": cv2.BORDER_CONSTANT,
+    "replicate": cv2.BORDER_REPLICATE,
+    "reflect": cv2.BORDER_REFLECT,
+    "reflect101": cv2.BORDER_REFLECT_101,
+    "wrap": cv2.BORDER_WRAP,
+}
+
+
+def _rand_img(rng, h=37, w=53, c=3):
+    return rng.integers(0, 256, (h, w, c)).astype(np.float32)
+
+
+@pytest.mark.parametrize("border", ["constant", "replicate", "reflect", "reflect101"])
+@pytest.mark.parametrize("interp", ["linear", "nearest"])
+def test_remap_vs_cv2(rng, border, interp):
+    img = _rand_img(rng)
+    h, w = img.shape[:2]
+    # smooth-ish maps straddling the borders
+    mx = (rng.random((29, 31)).astype(np.float32) * (w + 16)) - 8
+    my = (rng.random((29, 31)).astype(np.float32) * (h + 16)) - 8
+    flag = cv2.INTER_LINEAR if interp == "linear" else cv2.INTER_NEAREST
+    gold = cv2.remap(img, mx, my, flag, borderMode=BORDER_MAP[border],
+                     borderValue=(0, 0, 0))
+    got = np.asarray(remap(img, mx, my, interpolation=interp, border=border))
+    if interp == "nearest":
+        # rounding of exact-half coordinates may differ; allow tiny mismatch count
+        frac_x = np.abs((mx + 0.5) - np.round(mx + 0.5)) < 1e-3
+        frac_y = np.abs((my + 0.5) - np.round(my + 0.5)) < 1e-3
+        mask = ~(frac_x | frac_y)
+        np.testing.assert_allclose(got[mask], gold[mask], atol=1e-3)
+    else:
+        # cv2 uses 5-bit fixed point interp coefficients -> tolerance
+        np.testing.assert_allclose(got, gold, atol=6.0)
+
+
+def test_remap_linear_exact_float(rng):
+    """Against a scalar float NumPy reference (no fixed-point), tight tol."""
+    img = _rand_img(rng, 17, 19, 1)[..., 0]
+    mx = rng.random((11, 13)).astype(np.float32) * 18
+    my = rng.random((11, 13)).astype(np.float32) * 16
+    gold = np.zeros((11, 13), np.float32)
+    for y in range(11):
+        for x in range(13):
+            sx, sy = mx[y, x], my[y, x]
+            x0, y0 = int(np.floor(sx)), int(np.floor(sy))
+            fx, fy = sx - x0, sy - y0
+            def tap(ix, iy):
+                if 0 <= ix < 19 and 0 <= iy < 17:
+                    return img[iy, ix]
+                return 0.0
+            gold[y, x] = (tap(x0, y0) * (1 - fx) * (1 - fy) + tap(x0 + 1, y0) * fx * (1 - fy)
+                          + tap(x0, y0 + 1) * (1 - fx) * fy + tap(x0 + 1, y0 + 1) * fx * fy)
+    got = np.asarray(remap(img, mx, my))
+    np.testing.assert_allclose(got, gold, atol=1e-3)
+
+
+@pytest.mark.parametrize("shape", [((40, 60), (80, 130)), ((64, 48), (31, 23)),
+                                   ((37, 53), (37, 53))])
+def test_resize_vs_cv2(rng, shape):
+    (h, w), (oh, ow) = shape
+    img = _rand_img(rng, h, w)
+    gold = cv2.resize(img, (ow, oh), interpolation=cv2.INTER_LINEAR)
+    got = np.asarray(resize(img, oh, ow))
+    # cv2 quantizes interpolation coefficients (fixed point); allow 2 levels
+    np.testing.assert_allclose(got, gold, atol=2.0)
+
+
+def test_pyr_down_vs_cv2(rng):
+    img = _rand_img(rng, 64, 96)
+    gold = cv2.pyrDown(img)
+    got = np.asarray(pyr_down(np.moveaxis(img, -1, 0)))
+    got = np.moveaxis(got, 0, -1)
+    np.testing.assert_allclose(got, gold, atol=1.0)
+
+
+def test_pyr_up_vs_cv2(rng):
+    img = _rand_img(rng, 32, 48)
+    gold = cv2.pyrUp(img)
+    got = np.asarray(pyr_up(np.moveaxis(img, -1, 0)))
+    got = np.moveaxis(got, 0, -1)
+    np.testing.assert_allclose(got, gold, atol=1.0)
+
+
+def test_laplacian_roundtrip(rng):
+    img = _rand_img(rng, 64, 128)
+    planar = np.moveaxis(img, -1, 0)
+    lap = laplacian_pyramid(planar, 4)
+    rec = np.asarray(collapse_laplacian(lap))
+    np.testing.assert_allclose(rec, planar, atol=1e-2)
+
+
+def test_nv12_to_rgb_vs_cv2(rng):
+    h, w = 32, 64
+    nv12 = rng.integers(0, 256, (h * 3 // 2, w)).astype(np.uint8)
+    gold = cv2.cvtColor(nv12, cv2.COLOR_YUV2RGB_NV12).astype(np.float32)
+    got = np.asarray(color.nv12_to_rgb(nv12))
+    assert np.mean(np.abs(got - gold)) < 1.0
+    assert np.max(np.abs(got - gold)) <= 3.0
+
+
+def test_rgb_to_gray_vs_cv2(rng):
+    img = rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+    gold = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY).astype(np.float32)
+    got = np.asarray(color.rgb_to_gray(img.astype(np.float32)))
+    assert np.max(np.abs(np.round(got) - gold)) <= 1.0
+
+
+def test_rgb_to_i420_vs_cv2(rng):
+    img = rng.integers(0, 256, (32, 64, 3)).astype(np.uint8)
+    gold = cv2.cvtColor(img, cv2.COLOR_RGB2YUV_I420)
+    got = np.asarray(color.rgb_to_i420(img))
+    assert got.shape == gold.shape
+    assert np.mean(np.abs(got.astype(np.int32) - gold.astype(np.int32))) < 1.5
+
+
+def test_dilate3x3_vs_cv2(rng):
+    m = (rng.random((20, 30)) > 0.8).astype(np.float32) * 255
+    gold = cv2.dilate(m, np.ones((3, 3), np.uint8))
+    got = np.asarray(dilate3x3(m))
+    np.testing.assert_allclose(got, gold)

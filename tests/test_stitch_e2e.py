@@ -1,0 +1,164 @@
+"""End-to-end synthetic fixture (SURVEY.md §4 strategy): render N camera
+views from a known cylinder texture, stitch, and require high PSNR against
+the ground-truth panorama."""
+
+import numpy as np
+import pytest
+
+from video_stitcher_tpu.config import StitcherConfig
+from video_stitcher_tpu import Stitcher
+from video_stitcher_tpu.calib.calibration import plan_geometry
+from video_stitcher_tpu.geometry.camera import fixed_rig_cameras
+from video_stitcher_tpu.geometry.cylindrical import cylindrical_forward
+
+
+def make_scene(pano_w, pano_h, rng, smooth=9):
+    """Smooth random RGB texture, periodic in x."""
+    noise = rng.random((3, pano_h, pano_w)).astype(np.float32)
+    # separable box blur a few times for smoothness, periodic in x
+    for _ in range(smooth):
+        noise = (np.roll(noise, 1, axis=2) + noise + np.roll(noise, -1, axis=2)) / 3
+        noise = (np.concatenate([noise[:, :1], noise[:, :-1]], axis=1)
+                 + noise
+                 + np.concatenate([noise[:, 1:], noise[:, -1:]], axis=1)) / 3
+    lo, hi = noise.min(), noise.max()
+    return ((noise - lo) / (hi - lo) * 235 + 10).astype(np.float32)   # [3,H,W]
+
+
+def sample_scene(scene, u, v, pano_w):
+    """Bilinear sample, periodic in u."""
+    c, h, w = scene.shape
+    u = np.mod(u, pano_w)
+    x0 = np.floor(u).astype(np.int64)
+    y0 = np.clip(np.floor(v), 0, h - 2).astype(np.int64)
+    fx = (u - x0).astype(np.float32)
+    fy = (v - y0).astype(np.float32)
+    x1 = (x0 + 1) % w
+    y1 = y0 + 1
+    out = (scene[:, y0, x0] * (1 - fx) * (1 - fy) + scene[:, y0, x1] * fx * (1 - fy)
+           + scene[:, y1, x0] * (1 - fx) * fy + scene[:, y1, x1] * fx * fy)
+    return out
+
+
+def render_views(cfg, geom, scene, gains=None):
+    """Render full-res camera frames by forward-projecting each pixel."""
+    lay = geom.layout
+    cams_full = fixed_rig_cameras(cfg.num_images, cfg.input_width,
+                                  cfg.input_height, 1.0, cfg.fov_deg, cfg.yaws)
+    frames = np.zeros((cfg.num_images, cfg.input_height, cfg.input_width, 3),
+                      np.uint8)
+    xs, ys = np.meshgrid(np.arange(cfg.input_width, dtype=np.float64),
+                         np.arange(cfg.input_height, dtype=np.float64))
+    for i, cam in enumerate(cams_full):
+        u, v = cylindrical_forward(cam, lay.scale, xs, ys)
+        img = sample_scene(scene, u, v - lay.v0, lay.pano_w)
+        if gains is not None:
+            img = img * gains[i]
+        frames[i] = np.clip(np.moveaxis(img, 0, -1), 0, 255).astype(np.uint8)
+    return frames
+
+
+def psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0 ** 2 / mse) if mse > 0 else np.inf
+
+
+SMALL = dict(num_images=6, input_width=320, input_height=180,
+             enable_local=False, recalibrate=False)
+
+
+@pytest.fixture(scope="module")
+def small_stitch():
+    cfg = StitcherConfig(**SMALL)
+    geom, _ = plan_geometry(cfg)
+    rng = np.random.default_rng(7)
+    scene = make_scene(geom.layout.pano_w, geom.layout.pano_h, rng)
+    frames = render_views(cfg, geom, scene)
+    st = Stitcher(cfg)
+    st.calibrate(frames)
+    pano = st.stitch(frames)
+    return cfg, geom, scene, frames, st, pano
+
+
+def test_e2e_psnr(small_stitch):
+    cfg, geom, scene, frames, st, pano = small_stitch
+    valid = np.asarray(st.state.valid_mask) > 0
+    gt = np.moveaxis(scene, 0, -1)
+    # central rows (borders of the valid region see interpolation falloff)
+    h = geom.pano_h
+    sel = valid[h // 4: 3 * h // 4]
+    p = pano[h // 4: 3 * h // 4][sel]
+    g = gt[h // 4: 3 * h // 4][sel]
+    val = psnr(p, g)
+    assert val > 30.0, f"PSNR {val:.1f} dB too low"
+
+
+def test_e2e_no_black_seams(small_stitch):
+    """Inside the valid region the pano must have no near-zero holes."""
+    cfg, geom, scene, frames, st, pano = small_stitch
+    valid = np.asarray(st.state.valid_mask) > 0
+    h = geom.pano_h
+    region = pano[h // 4: 3 * h // 4]
+    vsel = valid[h // 4: 3 * h // 4]
+    dark = (region.max(axis=-1) < 5) & vsel
+    assert dark.mean() < 1e-4
+
+
+def test_gain_compensation_recovered(small_stitch):
+    """Views rendered with different exposures -> solved gains must flatten
+    them (exposure_compensate.cpp model)."""
+    cfg, geom, scene, frames, st, _ = small_stitch
+    gains_true = np.array([1.0, 0.8, 1.2, 0.9, 1.1, 1.0])
+    frames_g = render_views(cfg, geom, scene, gains=gains_true)
+    st2 = Stitcher(cfg)
+    st2.calibrate(frames_g)
+    solved = np.asarray(st2.state.gains)
+    # solved gains should counteract the applied ones (up to global scale)
+    ratio = solved * gains_true
+    assert ratio.std() / ratio.mean() < 0.05
+    pano = st2.stitch(frames_g)
+    valid = np.asarray(st2.state.valid_mask) > 0
+    h = geom.pano_h
+    gt = np.moveaxis(scene, 0, -1)
+    sel = valid[h // 4: 3 * h // 4]
+    # blended output should stay close to the reference exposure
+    p = pano[h // 4: 3 * h // 4][sel].mean()
+    g = gt[h // 4: 3 * h // 4][sel].mean()
+    assert abs(p - g) / g < 0.1
+
+
+def test_weight_pyramids_partition_of_unity(small_stitch):
+    """Re-placing the normalized weights must reproduce total/(total+eps)
+    exactly — i.e. ~1 wherever the raw total isn't vanishing."""
+    import jax.numpy as jnp
+    from video_stitcher_tpu.blend.multiband import place_bands, WEIGHT_EPS
+    from video_stitcher_tpu.ops.pyramid import gaussian_pyramid
+    cfg, geom, scene, frames, st, pano = small_stitch
+    lay = geom.layout
+    raw = gaussian_pyramid(jnp.asarray(st.aux["weights0"])[:, None],
+                           lay.num_bands)
+    for lvl, w in enumerate(st.state.weight_pyr):
+        total = np.asarray(place_bands(raw[lvl], lay, lvl))[0]
+        replaced = np.asarray(place_bands(w, lay, lvl))[0]
+        expect = total / (total + WEIGHT_EPS)
+        np.testing.assert_allclose(replaced, expect, atol=1e-4)
+        sel = total > 0.1
+        assert sel.any()
+        np.testing.assert_allclose(replaced[sel], 1.0, atol=1e-3)
+
+
+def test_calibration_roundtrip(tmp_path, small_stitch):
+    cfg, geom, scene, frames, st, pano = small_stitch
+    path = str(tmp_path / "calib.npz")
+    st.save_calibration(path)
+    st2 = Stitcher(cfg)
+    st2.load_calibration(path)
+    pano2 = st2.stitch(frames)
+    np.testing.assert_array_equal(np.asarray(pano), np.asarray(pano2))
+
+
+def test_output_frame_aspect(small_stitch):
+    cfg, geom, scene, frames, st, pano = small_stitch
+    out = st.output(pano)
+    assert out.shape[1] == cfg.output_width
+    assert out.shape[0] <= cfg.output_height

@@ -1,0 +1,269 @@
+"""Offline calibration: frames -> (StitchGeometry, CalibState).
+
+Mirrors the phases of stitch_calib / warpImages
+(360_stitcher/calibration.cpp:72-311):
+
+  1. scales from WORK/SEAM/COMPOSE megapix      (calibration.cpp:269-281,147-153)
+  2. fixed-rig camera model                      (calibration.cpp:28-68)
+  3. seam-scale cylindrical warp of images+masks (calibration.cpp:91-127)
+  4. gain solve + Voronoi seams                  (calibration.cpp:131-135)
+  5. compose-scale backward maps + seam-mask
+     dilate/resize/AND -> weight pyramids        (calibration.cpp:210-240)
+  6. optional CPW mesh calibration               (calibration.cpp:299-309)
+
+All products are plain arrays; the per-frame step closes over the static
+geometry and takes the CalibState pytree.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from video_stitcher_tpu.config import StitcherConfig
+from video_stitcher_tpu.geometry.camera import CameraParams, fixed_rig_cameras
+from video_stitcher_tpu.geometry.cylindrical import (
+    BandLayout, plan_band_layout, band_backward_maps, cylindrical_backward_map,
+)
+from video_stitcher_tpu.calib.gain import solve_gains
+from video_stitcher_tpu.calib.seam import find_seams
+from video_stitcher_tpu.calib.state import CalibState
+from video_stitcher_tpu.blend.multiband import build_weight_pyramids, feather_weights
+from video_stitcher_tpu.ops.morphology import dilate3x3
+from video_stitcher_tpu.ops.remap import remap_planar
+from video_stitcher_tpu.ops.resize import resize_planar
+
+
+@dataclass(frozen=True)
+class StitchGeometry:
+    """Static (hashable) geometry the jitted step closes over."""
+    layout: BandLayout
+    num_images: int
+    src_w: int                 # full-res input size
+    src_h: int
+    compose_w: int
+    compose_h: int
+    compose_scale: float
+    work_scale: float
+    focal_work: float          # CPW local term uses f at work scale (meshwarper.cpp:599)
+    num_bands: int
+    blend_type: str
+    wrap: bool
+
+    @property
+    def pano_w(self) -> int:
+        return self.layout.pano_w
+
+    @property
+    def pano_h(self) -> int:
+        return self.layout.pano_h
+
+
+def _compose_size(cfg: StitcherConfig) -> Tuple[int, int]:
+    # timed.cpp:77 / calibration.cpp:161-165: resize only if |scale-1| > 0.1
+    if abs(cfg.compose_scale - 1.0) > 1e-1:
+        return (int(cfg.input_width * cfg.compose_scale),
+                int(cfg.input_height * cfg.compose_scale))
+    return cfg.input_width, cfg.input_height
+
+
+def plan_geometry(cfg: StitcherConfig) -> Tuple[StitchGeometry, List[CameraParams]]:
+    cams_work = fixed_rig_cameras(cfg.num_images, cfg.input_width, cfg.input_height,
+                                  cfg.work_scale, cfg.fov_deg, cfg.yaws)
+    cw, ch = _compose_size(cfg)
+    cams_compose = [c.scaled(cfg.compose_work_aspect) for c in cams_work]
+    max_bands = None if cfg.blend_type == "multiband" else 0
+    layout = plan_band_layout(cams_compose, cw, ch, cfg.blend_strength,
+                              wrap=cfg.wrap_around, max_bands=max_bands)
+    geom = StitchGeometry(
+        layout=layout, num_images=cfg.num_images,
+        src_w=cfg.input_width, src_h=cfg.input_height,
+        compose_w=cw, compose_h=ch,
+        compose_scale=cw / cfg.input_width,
+        work_scale=cfg.work_scale, focal_work=cams_work[0].focal,
+        num_bands=layout.num_bands, blend_type=cfg.blend_type,
+        wrap=cfg.wrap_around)
+    return geom, cams_compose
+
+
+# ----------------------------------------------------------------------
+# seam-scale canvases
+# ----------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SeamCanvas:
+    w: int
+    h: int
+    scale: float       # cylinder px/radian at seam scale
+    ratio: float       # seam px per compose px (exact)
+    v0: float
+
+
+def _plan_seam_canvas(geom: StitchGeometry, cfg: StitcherConfig) -> SeamCanvas:
+    ratio = cfg.seam_scale / geom.compose_scale
+    s = geom.layout.scale * ratio
+    if geom.wrap:
+        w = max(8, int(round(s * 2 * math.pi)))
+    else:
+        w = max(8, int(math.ceil(geom.pano_w * ratio)))
+    h = max(8, int(math.ceil(geom.pano_h * ratio)))
+    return SeamCanvas(w=w, h=h, scale=s, ratio=ratio, v0=geom.layout.v0 * ratio)
+
+
+def _seam_canvas_maps(geom: StitchGeometry, sc: SeamCanvas,
+                      cams_compose: List[CameraParams], cfg: StitcherConfig):
+    """Backward maps from the full seam canvas into seam-scale source images."""
+    ratio_cam = cfg.seam_scale / geom.compose_scale
+    cams_seam = [c.scaled(ratio_cam) for c in cams_compose]
+    u = (np.arange(sc.w, dtype=np.float64) + geom.layout.u0 * sc.ratio)[None, :] \
+        + np.zeros((sc.h, 1))
+    v = (np.arange(sc.h, dtype=np.float64) + sc.v0)[:, None] + np.zeros((1, sc.w))
+    maps = []
+    for cam in cams_seam:
+        mx, my = cylindrical_backward_map(cam, sc.scale, u, v)
+        maps.append((mx, my))
+    return maps, cams_seam
+
+
+def _validity(mx, my, w, h):
+    """Warp validity like remap-NEAREST of a 255 canvas with BORDER_CONSTANT
+    (calibration.cpp:224-227)."""
+    return ((mx > -0.5) & (mx < w - 0.5) & (my > -0.5) & (my < h - 0.5))
+
+
+# ----------------------------------------------------------------------
+# main entry
+# ----------------------------------------------------------------------
+
+def calibrate(frames: np.ndarray, cfg: StitcherConfig,
+              mesh_maps: Optional[np.ndarray] = None):
+    """frames: u8 [N, H, W, 3]. Returns (geom, CalibState, aux dict).
+
+    mesh_maps: optional f32 [N, 2, bandH, bandW] CPW backward maps in band
+    coords (identity if None); composed into the fused maps.
+
+    Runs its eager array work on the host CPU backend (control plane); the
+    per-frame jitted step later pulls the resulting state onto the TPU once.
+    """
+    from video_stitcher_tpu.utils.hostdev import host_eager
+    with host_eager():
+        return _calibrate_impl(frames, cfg, mesh_maps)
+
+
+def _calibrate_impl(frames: np.ndarray, cfg: StitcherConfig,
+                    mesh_maps: Optional[np.ndarray] = None):
+    assert frames.shape[0] == cfg.num_images
+    geom, cams_compose = plan_geometry(cfg)
+    lay = geom.layout
+    sc = _plan_seam_canvas(geom, cfg)
+
+    # --- seam-scale warps (calibration.cpp:91-127) ---
+    seam_w = int(round(cfg.input_width * cfg.seam_scale))
+    seam_h = int(round(cfg.input_height * cfg.seam_scale))
+    seam_imgs_small = np.stack([
+        np.asarray(resize_planar(np.moveaxis(f, -1, 0).astype(np.float32),
+                                 seam_h, seam_w)) for f in frames])
+    canvas_maps, _ = _seam_canvas_maps(geom, sc, cams_compose, cfg)
+    warped = np.zeros((cfg.num_images, sc.h, sc.w, 3), np.float32)
+    masks = np.zeros((cfg.num_images, sc.h, sc.w), np.uint8)
+    for i, (mx, my) in enumerate(canvas_maps):
+        out = np.asarray(remap_planar(seam_imgs_small[i], jnp.asarray(mx),
+                                      jnp.asarray(my)))
+        warped[i] = np.moveaxis(out, 0, -1)
+        masks[i] = _validity(mx, my, seam_w, seam_h).astype(np.uint8) * 255
+
+    # --- gain + seams (calibration.cpp:131-135) ---
+    gains = solve_gains(warped, masks)
+    seam_masks = find_seams(masks, periodic_x=geom.wrap)
+
+    # --- compose-scale weights (calibration.cpp:210-240) ---
+    band_maps = band_backward_maps(lay, cams_compose)       # [N,2,bh,bw]
+    weights0 = np.zeros((cfg.num_images, lay.band_h, lay.band_w), np.float32)
+    if cfg.enable_local:
+        seam_masks = np.asarray(dilate3x3(seam_masks.astype(np.float32)))
+    # sample each seam canvas at band pixel positions (periodic in x)
+    ys = (np.arange(lay.band_h, dtype=np.float64) + lay.v0) * sc.ratio - sc.v0
+    for i in range(cfg.num_images):
+        xs = (np.arange(lay.band_w, dtype=np.float64)
+              + lay.u0 + lay.corners[i]) * sc.ratio
+        mxs, mys = np.meshgrid(xs, ys)
+        border = "wrap" if geom.wrap else "replicate"
+        seam_band = np.asarray(remap_planar(
+            seam_masks[i][None].astype(np.float32),
+            jnp.asarray(mxs.astype(np.float32)),
+            jnp.asarray(mys.astype(np.float32)), border=border))[0]
+        valid = _validity(band_maps[i, 0], band_maps[i, 1],
+                          geom.compose_w, geom.compose_h)
+        weights0[i] = np.where(valid, seam_band / 255.0, 0.0)
+
+    if geom.blend_type == "feather":
+        w = feather_weights((weights0 > 0.5).astype(np.uint8) * 255)
+        weights0 = np.where(weights0 > 0, w, 0.0).astype(np.float32)
+
+    weight_pyr, valid_mask = build_weight_pyramids(weights0, lay)
+
+    # per-band overlap masks for feature finding: valid here AND >=2 cameras
+    # cover the pano pixel (the principled version of the reference's
+    # hardcoded +-400px bands, meshwarper.cpp:82-115)
+    from video_stitcher_tpu.blend.multiband import crop_band, place_bands
+    valid_bands = np.stack([
+        _validity(band_maps[i, 0], band_maps[i, 1],
+                  geom.compose_w, geom.compose_h).astype(np.float32)
+        for i in range(cfg.num_images)])
+    counts = place_bands(jnp.asarray(valid_bands)[:, None], lay, 0)
+    overlap_masks = np.stack([
+        valid_bands[i] * (np.asarray(crop_band(counts, lay, i, 0))[0] >= 2.0)
+        for i in range(cfg.num_images)]).astype(np.float32)
+
+    # --- fused maps: compose-resize ∘ global warp [∘ mesh] ---
+    fused = compose_fused_maps(geom, band_maps, mesh_maps)
+
+    state = CalibState(
+        fused_maps=jnp.asarray(fused),
+        gains=jnp.asarray(gains, jnp.float32),
+        weight_pyr=weight_pyr,
+        valid_mask=valid_mask,
+    )
+    aux = {
+        "cams_compose": cams_compose,
+        "band_maps": band_maps,
+        "weights0": weights0,
+        "seam_masks": seam_masks,
+        "seam_canvas": sc,
+        "overlap_masks": overlap_masks,
+    }
+    return geom, state, aux
+
+
+def compose_fused_maps(geom: StitchGeometry, band_maps: np.ndarray,
+                       mesh_maps: Optional[np.ndarray] = None) -> np.ndarray:
+    """Fold mesh warp + compose resize into the global band maps.
+
+    Online equivalence (timed.cpp:77-103): out(x) = resize(src)[global[mesh[x]]]
+      -> fused[x] = to_fullres(global_map sampled at mesh_map[x]).
+    to_fullres uses the cv resize convention src=(c+0.5)/scale-0.5.
+    """
+    from video_stitcher_tpu.utils.hostdev import host_eager
+    with host_eager():
+        return _compose_fused_maps_impl(geom, band_maps, mesh_maps)
+
+
+def _compose_fused_maps_impl(geom, band_maps, mesh_maps=None):
+    maps = band_maps
+    if mesh_maps is not None:
+        out = np.empty_like(maps)
+        for i in range(maps.shape[0]):
+            sampled = np.asarray(remap_planar(
+                jnp.asarray(maps[i]), jnp.asarray(mesh_maps[i, 0]),
+                jnp.asarray(mesh_maps[i, 1]), border="replicate"))
+            # where the mesh map is out of band bounds, keep invalid
+            out[i] = sampled
+        maps = out
+    s = geom.compose_scale
+    if abs(s - 1.0) > 1e-1:                  # timed.cpp:75 resize condition
+        maps = (maps + 0.5) / s - 0.5
+    return maps.astype(np.float32)

@@ -1,0 +1,54 @@
+"""Calibration state: an explicit, serializable pytree.
+
+The reference keeps calibration artifacts scattered across GpuMats, globals
+and mutexed vectors (x_maps/y_maps/x_mesh/y_mesh/gains/weight pyramids,
+360_stitcher/timed.cpp:511-530) and never persists them. Here everything the
+online loop needs is one NamedTuple of arrays — hot-swapping a new mesh is an
+atomic pytree replacement (vs the reference's mesh mutexes,
+timed.cpp:98-103), and the whole thing checkpoints to a single .npz.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class CalibState(NamedTuple):
+    #: f32 [N, 2, bandH, bandW] — fused backward maps (full-res source px
+    #: coords per band output px): compose-resize ∘ global warp ∘ CPW mesh.
+    fused_maps: jnp.ndarray
+    #: f32 [N] — per-camera gains (exposure_compensate.cpp:125-150).
+    gains: jnp.ndarray
+    #: tuple of f32 [N, 1, h_l, w_l] — pre-normalized weight pyramids.
+    weight_pyr: Tuple[jnp.ndarray, ...]
+    #: f32 [pano_h, pano_w] — 1 where any camera contributes.
+    valid_mask: jnp.ndarray
+
+
+def save_state(path: str, state: CalibState, extra: dict | None = None) -> None:
+    data = {
+        "fused_maps": np.asarray(state.fused_maps),
+        "gains": np.asarray(state.gains),
+        "valid_mask": np.asarray(state.valid_mask),
+        "n_levels": np.int64(len(state.weight_pyr)),
+    }
+    for i, w in enumerate(state.weight_pyr):
+        data[f"weight_pyr_{i}"] = np.asarray(w)
+    if extra:
+        for k, v in extra.items():
+            data["extra_" + k] = v
+    np.savez_compressed(path, **data)
+
+
+def load_state(path: str) -> CalibState:
+    z = np.load(path)
+    n = int(z["n_levels"])
+    return CalibState(
+        fused_maps=jnp.asarray(z["fused_maps"]),
+        gains=jnp.asarray(z["gains"]),
+        weight_pyr=tuple(jnp.asarray(z[f"weight_pyr_{i}"]) for i in range(n)),
+        valid_mask=jnp.asarray(z["valid_mask"]),
+    )

@@ -1,0 +1,202 @@
+"""Runtime configuration surface.
+
+Mirrors the reference's compile-time constant block (360_stitcher/defs.h:8-76)
+as a real runtime config (dataclass + JSON file + CLI), which the reference's
+own TODO list admits it never implemented ("Implement command line arguments").
+
+Every field that BASELINE.md lists as "config surface preserved" is here under
+a pythonic name; the defaults match defs.h.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+
+@dataclass
+class StitcherConfig:
+    # --- rig / inputs (defs.h:37, defs.h:15-17) ---
+    num_images: int = 6
+    input_width: int = 1920
+    input_height: int = 1080
+    #: Optional explicit camera yaws (radians). Default: ring, 2*pi*i/N
+    #: (360_stitcher/calibration.cpp:35).
+    yaws: Optional[Tuple[float, ...]] = None
+    #: Horizontal field of view in degrees (focal from 90deg FoV,
+    #: 360_stitcher/calibration.cpp:31-32).
+    fov_deg: float = 90.0
+
+    # --- stitching behavior (defs.h:25-27) ---
+    wrap_around: bool = True
+    recalibrate: bool = True
+    enable_local: bool = True
+
+    # --- scales (defs.h:51-53) ---
+    work_megapix: float = 0.6
+    seam_megapix: float = 0.01
+    compose_megapix: float = 1.4
+
+    # --- blending (defs.h:55) ---
+    blend_strength: float = 5.0
+    #: "multiband" | "feather" | "none"
+    blend_type: str = "multiband"
+
+    # --- features / matching (defs.h:54,60-61) ---
+    match_conf: float = 0.5
+    max_features_per_image: int = 100
+    orb_num_features: int = 2500          # 360_stitcher/featurefinder.cpp:15
+    orb_scale_factor: float = 1.2
+    orb_num_levels: int = 8
+    lowe_ratio: float = 0.7               # 360_stitcher/featurefinder.cpp:65
+
+    # --- CPW mesh (defs.h:65-71) ---
+    mesh_width: int = 10
+    mesh_height: int = 10
+    #: [local, global, smoothness, temporal] cost weights (defs.h:69).
+    alphas: Tuple[float, float, float, float] = (1.0, 0.01, 0.00005, 0.0)
+    global_dist: int = 30
+    overlap_px: int = 400                 # 360_stitcher/meshwarper.cpp:89
+
+    # --- recalibration (defs.h:48-50) ---
+    recalib_del_ms: int = 1000
+    recalib_thresh_px: int = 15
+    recalib_interp: bool = False
+
+    # --- output / consumer (defs.h:39-40,35-36,28-33,41) ---
+    output_width: int = 4096
+    output_height: int = 2048
+    keep_aspect_ratio: bool = True
+    add_black_bars: bool = False
+    save_video: bool = False
+    show_out: bool = False
+    send_results: bool = False
+    send_height_info: bool = True
+    results_max_size: int = 0
+    clear_buffers: bool = False
+
+    # --- live capture plane (defs.h:8,10-20,38) ---
+    use_stream: bool = False
+    capture_tcp_port: int = 6666
+    capture_img_width: int = 1920
+    capture_img_height: int = 1620        # NV12: H*1.5 rows of bytes
+    player_address: str = "localhost"
+    player_tcp_port: int = 55555
+    client_addr_start: int = 41
+
+    # --- file input (defs.h:22-24,44,74) ---
+    video_files: Tuple[str, ...] = ()
+    skip_frames: int = 0
+    offsets: Tuple[int, ...] = ()
+
+    # --- TPU-specific knobs (no reference equivalent) ---
+    #: dtype for the blend pyramids: "float32" or "bfloat16".
+    blend_dtype: str = "float32"
+    #: Fuse compose-resize + global warp + mesh warp into one backward map
+    #: (the TPU-native fast path). Disable for bit-closer reference parity.
+    fuse_maps: bool = True
+    #: devices along the camera axis for multi-chip stitching (1 = single chip)
+    camera_shards: int = 1
+
+    # ------------------------------------------------------------------
+    def __post_init__(self):
+        if self.yaws is not None and len(self.yaws) != self.num_images:
+            raise ValueError("yaws must have num_images entries")
+        if self.offsets and len(self.offsets) != self.num_images:
+            raise ValueError("offsets must have num_images entries")
+        if self.blend_type not in ("multiband", "feather", "none"):
+            raise ValueError(f"unknown blend_type {self.blend_type!r}")
+        if self.blend_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown blend_dtype {self.blend_dtype!r}")
+
+    # --- scale math (360_stitcher/calibration.cpp:269-281,147-153) ---
+    @property
+    def full_area(self) -> int:
+        return self.input_width * self.input_height
+
+    @property
+    def work_scale(self) -> float:
+        if self.work_megapix < 0:
+            return 1.0
+        return min(1.0, (self.work_megapix * 1e6 / self.full_area) ** 0.5)
+
+    @property
+    def seam_scale(self) -> float:
+        return min(1.0, (self.seam_megapix * 1e6 / self.full_area) ** 0.5)
+
+    @property
+    def compose_scale(self) -> float:
+        if self.compose_megapix < 0:
+            return 1.0
+        return min(1.0, (self.compose_megapix * 1e6 / self.full_area) ** 0.5)
+
+    @property
+    def seam_work_aspect(self) -> float:
+        return self.seam_scale / self.work_scale
+
+    @property
+    def compose_work_aspect(self) -> float:
+        return self.compose_scale / self.work_scale
+
+    def camera_yaws(self) -> List[float]:
+        import math
+        if self.yaws is not None:
+            return list(self.yaws)
+        return [2.0 * math.pi * i / self.num_images for i in range(self.num_images)]
+
+    # --- serialization ---
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "StitcherConfig":
+        data = json.loads(text)
+        for k in ("yaws", "video_files", "offsets", "alphas"):
+            if k in data and data[k] is not None:
+                data[k] = tuple(data[k])
+        return cls(**data)
+
+    @classmethod
+    def from_file(cls, path: str) -> "StitcherConfig":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+    @classmethod
+    def from_args(cls, argv: Optional[Sequence[str]] = None) -> "StitcherConfig":
+        """CLI over the config surface: --config file.json plus per-field overrides."""
+        parser = argparse.ArgumentParser(description="TPU 360 video stitcher")
+        parser.add_argument("--config", type=str, default=None)
+        for f in dataclasses.fields(cls):
+            name = "--" + f.name.replace("_", "-")
+            if f.type in ("bool", bool):
+                parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                                    default=None)
+            elif f.type in ("int", int):
+                parser.add_argument(name, type=int, default=None)
+            elif f.type in ("float", float):
+                parser.add_argument(name, type=float, default=None)
+            elif f.name in ("video_files",):
+                parser.add_argument(name, type=str, nargs="*", default=None)
+            elif f.name in ("offsets", "yaws", "alphas"):
+                parser.add_argument(name, type=float, nargs="*", default=None)
+            else:
+                parser.add_argument(name, type=str, default=None)
+        ns = parser.parse_args(argv)
+        cfg = cls.from_file(ns.config) if ns.config else cls()
+        overrides = {}
+        for f in dataclasses.fields(cls):
+            v = getattr(ns, f.name, None)
+            if v is not None:
+                if f.name in ("offsets",):
+                    v = tuple(int(x) for x in v)
+                elif f.name in ("yaws", "alphas"):
+                    v = tuple(float(x) for x in v)
+                elif f.name == "video_files":
+                    v = tuple(v)
+                overrides[f.name] = v
+        if overrides:
+            cfg = dataclasses.replace(cfg, **overrides)
+        return cfg

@@ -1,0 +1,241 @@
+"""ORB-style feature detection + description in pure JAX (TPU-friendly).
+
+Replaces cv::cuda::ORB (cv/cudafeatures2d/src/orb.cpp + cuda/orb.cu: FAST
+segment test, Harris ranking, intensity-centroid orientation, rotated BRIEF)
+as used at 360_stitcher/featurefinder.cpp:15,38 (2500 pts, scale 1.2,
+8 levels). Redesign notes:
+
+* FAST's data-dependent branching becomes mask-parallel window ops: the
+  16-point Bresenham circle is materialized as 16 shifted views and the
+  9-contiguous arc test is a reduction over 16 rotations — pure VPU work.
+* Keypoints are fixed-size arrays with a validity mask (static shapes for
+  XLA); ranking is lax.top_k on the Harris response.
+* The rBRIEF sampling pattern is our own fixed 256-pair table (generated
+  from a seeded Gaussian, as in the original BRIEF paper). Descriptors are
+  only ever matched against descriptors from this same implementation, so
+  the pattern needs to be fixed, not identical to OpenCV's.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from video_stitcher_tpu.ops.resize import resize_planar
+
+# 16-point Bresenham circle of radius 3, clockwise from 12 o'clock (dy, dx)
+_CIRCLE = np.array([
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+], np.int32)
+
+PATCH_R = 15          # orientation/descriptor patch radius (31x31 like ORB)
+
+
+class Keypoints(NamedTuple):
+    xy: jnp.ndarray        # f32 [K, 2] (x, y) in level-0 image coords
+    response: jnp.ndarray  # f32 [K]
+    angle: jnp.ndarray     # f32 [K] radians
+    valid: jnp.ndarray     # bool [K]
+    desc: jnp.ndarray      # uint32 [K, 8] packed 256-bit descriptors
+
+
+@functools.lru_cache(maxsize=1)
+def _brief_pattern() -> np.ndarray:
+    """[256, 2, 2] (pair, point, (dy, dx)) sampling offsets, sigma = patch/5."""
+    rng = np.random.default_rng(0x0B12EF)
+    pts = rng.normal(0.0, PATCH_R / 2.5, size=(256, 2, 2))
+    return np.clip(np.round(pts), -(PATCH_R - 2), PATCH_R - 2).astype(np.int32)
+
+
+def _shift2d(img, dy: int, dx: int):
+    """Shifted view with zero fill (invalid near borders handled by mask)."""
+    return jnp.roll(img, (-dy, -dx), axis=(0, 1))
+
+
+def _fast_corners(gray, threshold: float):
+    """FAST-9/16 segment-test mask + margin score. gray: f32 [H, W]."""
+    taps = jnp.stack([_shift2d(gray, int(dy), int(dx)) for dy, dx in _CIRCLE])
+    bright = taps > gray[None] + threshold          # [16, H, W]
+    dark = taps < gray[None] - threshold
+
+    def arc9(m):
+        hit = jnp.zeros_like(m[0], dtype=bool)
+        for k in range(16):
+            run = m[k]
+            for j in range(1, 9):
+                run = run & m[(k + j) % 16]
+            hit = hit | run
+        return hit
+
+    corner = arc9(bright) | arc9(dark)
+    # margin score (for reference only; ranking uses Harris)
+    score = jnp.maximum(
+        jnp.sum(jnp.maximum(taps - gray[None] - threshold, 0.0), axis=0),
+        jnp.sum(jnp.maximum(gray[None] - taps - threshold, 0.0), axis=0))
+    return corner, score
+
+
+def _harris(gray, k: float = 0.04, block: int = 7):
+    """Harris response with Sobel gradients + box window (ORB's HARRIS_SCORE)."""
+    gp = jnp.pad(gray, 1, mode="edge")
+    h, w = gray.shape
+
+    def s(dy, dx):
+        return gp[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+
+    ix = (s(-1, 1) + 2 * s(0, 1) + s(1, 1)) - (s(-1, -1) + 2 * s(0, -1) + s(1, -1))
+    iy = (s(1, -1) + 2 * s(1, 0) + s(1, 1)) - (s(-1, -1) + 2 * s(-1, 0) + s(-1, 1))
+
+    def box(x):
+        r = block // 2
+        xp = jnp.pad(x, r, mode="edge")
+        out = jnp.zeros_like(x)
+        for dy in range(block):
+            for dx in range(block):
+                out = out + xp[dy:dy + h, dx:dx + w]
+        return out
+
+    sxx, syy, sxy = box(ix * ix), box(iy * iy), box(ix * iy)
+    det = sxx * syy - sxy * sxy
+    tr = sxx + syy
+    return det - k * tr * tr
+
+
+def _nms3(resp):
+    rp = jnp.pad(resp, 1, mode="constant", constant_values=-jnp.inf)
+    h, w = resp.shape
+    best = resp
+    is_max = jnp.ones_like(resp, bool)
+    for dy in range(3):
+        for dx in range(3):
+            if dy == 1 and dx == 1:
+                continue
+            is_max = is_max & (resp >= rp[dy:dy + h, dx:dx + w])
+    return is_max
+
+
+def _orientation(smooth, xs, ys):
+    """Intensity-centroid angle per keypoint (orb.cpp IC_Angle)."""
+    r = PATCH_R
+    dys, dxs = np.mgrid[-r:r + 1, -r:r + 1]
+    circ = (dys ** 2 + dxs ** 2) <= r * r
+    dys_f = dys[circ].astype(np.float32)
+    dxs_f = dxs[circ].astype(np.float32)
+    h, w = smooth.shape
+    flat = smooth.reshape(-1)
+
+    px = xs[:, None] + jnp.asarray(dxs_f)[None, :]
+    py = ys[:, None] + jnp.asarray(dys_f)[None, :]
+    pxc = jnp.clip(px.astype(jnp.int32), 0, w - 1)
+    pyc = jnp.clip(py.astype(jnp.int32), 0, h - 1)
+    vals = flat[pyc * w + pxc]
+    m10 = jnp.sum(vals * jnp.asarray(dxs_f)[None, :], axis=1)
+    m01 = jnp.sum(vals * jnp.asarray(dys_f)[None, :], axis=1)
+    return jnp.arctan2(m01, m10)
+
+
+def _describe(smooth, xs, ys, angles):
+    """Rotated-BRIEF 256-bit descriptors -> uint32 [K, 8]."""
+    pat = jnp.asarray(_brief_pattern(), jnp.float32)    # [256,2,2] (dy,dx)
+    h, w = smooth.shape
+    flat = smooth.reshape(-1)
+    ca, sa = jnp.cos(angles), jnp.sin(angles)           # [K]
+
+    dy = pat[None, :, :, 0]                             # [1,256,2]
+    dx = pat[None, :, :, 1]
+    rx = dx * ca[:, None, None] - dy * sa[:, None, None]
+    ry = dx * sa[:, None, None] + dy * ca[:, None, None]
+    px = jnp.clip(jnp.round(xs[:, None, None] + rx).astype(jnp.int32), 0, w - 1)
+    py = jnp.clip(jnp.round(ys[:, None, None] + ry).astype(jnp.int32), 0, h - 1)
+    vals = flat[py * w + px]                            # [K,256,2]
+    bits = (vals[:, :, 0] < vals[:, :, 1]).astype(jnp.uint32)
+    bits = bits.reshape(bits.shape[0], 8, 32)
+    packed = jnp.sum(bits << jnp.arange(32, dtype=jnp.uint32)[None, None, :],
+                     axis=-1, dtype=jnp.uint32)
+    return packed
+
+
+def _box5(img):
+    """5x5 box smoothing (stand-in for ORB's integral-image smoothing)."""
+    h, w = img.shape
+    xp = jnp.pad(img, 2, mode="edge")
+    out = jnp.zeros_like(img)
+    for dy in range(5):
+        for dx in range(5):
+            out = out + xp[dy:dy + h, dx:dx + w]
+    return out / 25.0
+
+
+def detect_and_describe(gray, mask=None, *, max_keypoints: int = 512,
+                        num_levels: int = 4, scale_factor: float = 1.2,
+                        fast_threshold: float = 20.0) -> Keypoints:
+    """gray: f32 [H, W] (0..255); mask: optional [H, W] (>0 = allowed).
+
+    Returns fixed-size Keypoints (invalid slots flagged). Jittable; shapes
+    depend only on (H, W, max_keypoints, num_levels).
+    """
+    gray = gray.astype(jnp.float32)
+    h0, w0 = gray.shape
+    k_per_level = max_keypoints
+
+    cand_resp, cand_x, cand_y, cand_lvl = [], [], [], []
+    imgs = []
+    for lvl in range(num_levels):
+        s = scale_factor ** lvl
+        hs, ws = max(32, int(round(h0 / s))), max(32, int(round(w0 / s)))
+        img = gray if lvl == 0 else resize_planar(gray, hs, ws)
+        imgs.append(img)
+        corner, _ = _fast_corners(img, fast_threshold)
+        harris = _harris(img)
+        border = PATCH_R + 4
+        hh, wh = img.shape
+        yy = jnp.arange(hh)[:, None]
+        xx = jnp.arange(wh)[None, :]
+        inb = (yy >= border) & (yy < hh - border) & (xx >= border) & (xx < wh - border)
+        ok = corner & _nms3(harris) & inb
+        if mask is not None:
+            m = mask if lvl == 0 else (resize_planar(
+                mask.astype(jnp.float32), hh, wh) > 127)
+            ok = ok & (m > 0)
+        resp = jnp.where(ok, harris, -jnp.inf)
+        top_v, top_i = jax.lax.top_k(resp.reshape(-1), k_per_level)
+        ys_l = (top_i // wh).astype(jnp.float32)
+        xs_l = (top_i % wh).astype(jnp.float32)
+        cand_resp.append(top_v)
+        cand_x.append(xs_l * (w0 / wh))
+        cand_y.append(ys_l * (h0 / hh))
+        cand_lvl.append(jnp.full((k_per_level,), lvl, jnp.int32))
+
+    resp = jnp.concatenate(cand_resp)
+    allx = jnp.concatenate(cand_x)
+    ally = jnp.concatenate(cand_y)
+    alll = jnp.concatenate(cand_lvl)
+    best_v, best_i = jax.lax.top_k(resp, max_keypoints)
+    xs = allx[best_i]
+    ys = ally[best_i]
+    lvls = alll[best_i]
+    valid = jnp.isfinite(best_v)
+
+    # orientation + descriptors per level, gathered on the level image
+    angles = jnp.zeros((max_keypoints,), jnp.float32)
+    descs = jnp.zeros((max_keypoints, 8), jnp.uint32)
+    for lvl in range(num_levels):
+        img = imgs[lvl]
+        sm = _box5(img)
+        hh, wh = img.shape
+        lx = xs * (wh / w0)
+        ly = ys * (hh / h0)
+        a = _orientation(sm, lx, ly)
+        d = _describe(sm, lx, ly, a)
+        sel = (lvls == lvl)
+        angles = jnp.where(sel, a, angles)
+        descs = jnp.where(sel[:, None], d, descs)
+
+    return Keypoints(xy=jnp.stack([xs, ys], axis=-1),
+                     response=jnp.where(valid, best_v, 0.0),
+                     angle=angles, valid=valid, desc=descs)

@@ -1,0 +1,162 @@
+"""Capture-board TCP ingest (NV12 frame streams).
+
+Replaces 360_stitcher/networking.cpp + netlib.c: a TCP server accepts one
+client per capture board, orders streams by the last octet of the client IP
+minus client_addr_start (debug mode: accept order), reassembles fixed-size
+NV12 frames from the byte stream, converts to RGB, and feeds per-camera
+queues.
+
+Two backends:
+  * native  — libstitchio.so (C++ accept/recv threads + frame queues)
+  * python  — threaded stdlib sockets (same wire protocol)
+NV12->RGB conversion happens on device (ops/color.py) when frames flow into
+the stitcher; host conversion is available for previews.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+from video_stitcher_tpu.config import StitcherConfig
+from video_stitcher_tpu.io_plane.queues import FrameQueue
+from video_stitcher_tpu.io_plane import native as native_mod
+
+
+class CaptureIngest:
+    """start() then get_frames() -> u8 [N, H*3/2, W] NV12 stacks."""
+
+    def __init__(self, cfg: StitcherConfig, debug_order: bool = True,
+                 backend: str = "auto", max_queue: int = 4):
+        self.cfg = cfg
+        self.w = cfg.capture_img_width
+        self.h_nv12 = cfg.capture_img_height          # = 3/2 * image height
+        self.frame_bytes = self.w * self.h_nv12
+        self.n = cfg.num_images
+        self.debug_order = debug_order
+        self.max_queue = max_queue
+        self._native = None
+        self._threads: List[threading.Thread] = []
+        self._queues = [FrameQueue(max_queue) for _ in range(self.n)]
+        self._server: Optional[socket.socket] = None
+        self._running = False
+        if backend == "auto":
+            self._lib = native_mod.load()
+        elif backend == "native":
+            self._lib = native_mod.load()
+            if self._lib is None:
+                raise RuntimeError("native backend unavailable")
+        else:
+            self._lib = None
+
+    # ------------------------------------------------------------------
+    def start(self) -> None:
+        if self._lib is not None:
+            rc = self._lib.stitchio_start_server(
+                self.cfg.capture_tcp_port, self.n, self.frame_bytes,
+                self.cfg.client_addr_start, 1 if self.debug_order else 0,
+                self.max_queue)
+            if rc != 0:
+                raise RuntimeError(f"stitchio_start_server failed: {rc}")
+            self._native = self._lib
+            return
+        self._server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._server.bind(("", self.cfg.capture_tcp_port))
+        self._server.listen(self.n)
+        self._running = True
+        t = threading.Thread(target=self._accept_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+
+    def stop(self) -> None:
+        if self._native is not None:
+            self._native.stitchio_stop_server()
+            self._native = None
+            return
+        self._running = False
+        if self._server:
+            try:
+                self._server.close()
+            except OSError:
+                pass
+        for q in self._queues:
+            q.close()
+
+    # ------------------------------------------------------------------
+    def _accept_loop(self) -> None:
+        order = 0
+        while self._running:
+            try:
+                conn, addr = self._server.accept()
+            except OSError:
+                break
+            if self.debug_order:
+                slot = order
+            else:
+                slot = int(addr[0].rsplit(".", 1)[-1]) - self.cfg.client_addr_start
+            if not (0 <= slot < self.n):
+                conn.close()
+                continue
+            order += 1
+            t = threading.Thread(target=self._recv_loop, args=(conn, slot),
+                                 daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _recv_loop(self, conn: socket.socket, slot: int) -> None:
+        """Frame reassembly incl. the reference's 3-retry policy
+        (networking.cpp:26-37)."""
+        buf = bytearray(self.frame_bytes)
+        index = 0
+        errors = 0
+        while self._running:
+            try:
+                chunk = conn.recv(65536)
+            except OSError:
+                errors += 1
+                if errors > 3:
+                    break
+                continue
+            if not chunk:
+                break
+            errors = 0
+            off = 0
+            while off < len(chunk):
+                take = min(self.frame_bytes - index, len(chunk) - off)
+                buf[index:index + take] = chunk[off:off + take]
+                index += take
+                off += take
+                if index == self.frame_bytes:
+                    frame = np.frombuffer(bytes(buf), np.uint8).reshape(
+                        self.h_nv12, self.w)
+                    self._queues[slot].push(frame)
+                    index = 0
+        conn.close()
+
+    # ------------------------------------------------------------------
+    def pop_frame(self, cam: int, timeout: Optional[float] = None
+                  ) -> Optional[np.ndarray]:
+        if self._native is not None:
+            import ctypes
+            out = np.empty((self.h_nv12, self.w), np.uint8)
+            ms = -1 if timeout is None else int(timeout * 1000)
+            rc = self._native.stitchio_pop_frame(
+                cam, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), ms)
+            return out if rc == 0 else None
+        return self._queues[cam].pop(timeout)
+
+    def get_frames(self, timeout: Optional[float] = None
+                   ) -> Optional[np.ndarray]:
+        """Pop one NV12 frame per camera -> u8 [N, H*3/2, W] (or None)."""
+        frames = []
+        for cam in range(self.n):
+            f = self.pop_frame(cam, timeout)
+            if f is None:
+                return None
+            frames.append(f)
+        return np.stack(frames)

@@ -1,0 +1,145 @@
+"""CPW mesh recalibration pipeline: frames -> features -> matches -> solve
+-> backward maps. The body of the reference's recalibrateMesh thread
+(360_stitcher/timed.cpp:414-463 + MeshWarper::createMesh,
+meshwarper.cpp:48-335), as a plain function suitable for an async job."""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from video_stitcher_tpu.features.orb import detect_and_describe
+from video_stitcher_tpu.features.match import knn_ratio_match
+from video_stitcher_tpu.features.ransac import ransac_homography
+from video_stitcher_tpu.mesh.cpw import CamMatches, CPWSolver
+from video_stitcher_tpu.mesh.mesh2map import mesh_to_backward_maps
+from video_stitcher_tpu.ops.color import rgb_to_gray
+from video_stitcher_tpu.ops.remap import remap_planar
+
+MAX_KEYPOINTS = 512
+Y_DIFF_MAX = 40.0          # meshwarper.cpp:935
+X_DIST_SLACK = 300.0       # meshwarper.cpp:938
+
+
+def band_targets(layout) -> List[float]:
+    """Per-camera expected x-distance p1.x - p2.x against dst = (cam-1) mod C.
+
+    Replaces theta*f*scale (meshwarper.cpp:616-628,686) with the exact band
+    corner difference (wrapped to the nearest period)."""
+    c = len(layout.corners)
+    out = []
+    for idx in range(c):
+        dst = (idx - 1) % c
+        t = layout.corners[dst] - layout.corners[idx]
+        if layout.wrap:
+            t = (t + layout.pano_w / 2) % layout.pano_w - layout.pano_w / 2
+        out.append(float(t))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("max_kp",))
+def _detect_all(bands_gray, masks, max_kp=MAX_KEYPOINTS):
+    """bands_gray [C, bh, bw], masks [C, bh, bw] -> batched Keypoints."""
+    return jax.vmap(lambda g, m: detect_and_describe(
+        g, m, max_keypoints=max_kp, num_levels=4))(bands_gray, masks)
+
+
+def _warp_bands_global(frames, global_fused_maps):
+    """Warp full-res frames through the *global-only* fused maps (the mesh
+    must be estimated on globally-warped images, meshwarper.cpp:64-73)."""
+    x = jnp.moveaxis(jnp.asarray(frames), -1, 1).astype(jnp.float32)
+    return jax.vmap(lambda im, m: remap_planar(im, m[0], m[1]))(
+        x, jnp.asarray(global_fused_maps))
+
+
+_warp_bands_global_jit = jax.jit(_warp_bands_global)
+
+
+class MeshPipeline:
+    """Holds the jitted feature machinery + CPW solver state across
+    recalibrations."""
+
+    def __init__(self, geom, global_fused_maps, overlap_masks,
+                 cfg, rng_seed: int = 0):
+        lay = geom.layout
+        self.geom = geom
+        self.cfg = cfg
+        self.global_maps = np.asarray(global_fused_maps)
+        self.overlap_masks = jnp.asarray(overlap_masks.astype(np.float32))
+        self.solver = CPWSolver(
+            num_images=geom.num_images, mesh_w=cfg.mesh_width,
+            mesh_h=cfg.mesh_height, band_w=lay.band_w, band_h=lay.band_h,
+            targets=band_targets(lay), alphas=cfg.alphas,
+            global_dist=cfg.global_dist, recalib_thresh=cfg.recalib_thresh_px)
+        self.key = jax.random.PRNGKey(rng_seed)
+        self._ransac = jax.jit(ransac_homography)
+        self._match = jax.jit(knn_ratio_match)
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def run(self, frames: np.ndarray) -> Optional[np.ndarray]:
+        """frames u8 [C, H, W, 3] -> mesh backward maps f32 [C, 2, bh, bw]."""
+        geom = self.geom
+        cfg = self.cfg
+        c = geom.num_images
+
+        bands = _warp_bands_global_jit(frames, self.global_maps)  # [C,3,bh,bw]
+        gray = (bands[:, 0] * 0.299 + bands[:, 1] * 0.587 + bands[:, 2] * 0.114)
+        nonblack = (jnp.max(bands, axis=1) > 0).astype(jnp.float32)
+        masks = self.overlap_masks * nonblack
+
+        kps = _detect_all(gray, masks)
+
+        matches: List[Optional[CamMatches]] = []
+        for idx in range(c):
+            dst = (idx - 1) % c
+            if dst == c - 1 and not cfg.wrap_around:
+                matches.append(None)
+                continue
+            m = self._match(kps.desc[idx], kps.desc[dst],
+                            kps.valid[idx], kps.valid[dst], cfg.lowe_ratio)
+            p1 = np.asarray(kps.xy[idx])[np.asarray(m.query)]
+            p2 = np.asarray(kps.xy[dst])[np.asarray(m.train)]
+            ok = np.asarray(m.valid)
+            if ok.sum() >= 8:
+                _, inl, _ = self._ransac(jnp.asarray(p1), jnp.asarray(p2),
+                                         jnp.asarray(ok), self._next_key())
+                ok = ok & np.asarray(inl)
+            # rig sanity filters (meshwarper.cpp:930-941)
+            target = self.solver.targets[idx]
+            ydiff = np.abs(p1[:, 1] - p2[:, 1])
+            xdev = np.abs(target - (p1[:, 0] - p2[:, 0]))
+            ok = ok & (ydiff <= Y_DIFF_MAX) & (xdev <= X_DIST_SLACK)
+            if ok.sum() == 0:
+                matches.append(None)
+                continue
+            sel = np.where(ok)[0]
+            dist = np.asarray(m.distance)[sel]
+            order = np.argsort(dist)[:cfg.max_features_per_image]
+            sel = sel[order]
+            matches.append(CamMatches(p1=p1[sel], p2=p2[sel], dst=dst))
+
+        if all(m is None for m in matches):
+            return None
+
+        verts = self.solver.solve(matches, np.asarray(bands))
+        maps = mesh_to_backward_maps(jnp.asarray(verts),
+                                     geom.layout.band_h, geom.layout.band_w)
+        return np.asarray(maps)
+
+
+def solve_mesh_maps(frames, stitcher):
+    """Entry used by Stitcher.recalibrate_mesh; lazily builds the pipeline."""
+    if getattr(stitcher, "_mesh_pipe", None) is None:
+        from video_stitcher_tpu.calib.calibration import compose_fused_maps
+        geom = stitcher.geom
+        global_maps = compose_fused_maps(geom, stitcher.aux["band_maps"], None)
+        stitcher._mesh_pipe = MeshPipeline(
+            geom, global_maps, stitcher.aux["overlap_masks"], stitcher.cfg)
+    return stitcher._mesh_pipe.run(frames)

@@ -1,0 +1,300 @@
+// stitchio: native runtime plumbing for the TPU stitcher.
+//
+// C++ replacement for the reference's host-side I/O stack:
+//   * BlockingQueue<Mat>        (360_stitcher/blockingqueue.h)   -> FrameQueue
+//   * sts_net TCP wrapper       (360_stitcher/netlib.{h,c})      -> plain BSD sockets
+//   * capture ingest threads    (360_stitcher/networking.cpp)    -> CaptureServer
+//
+// Exposed as a C ABI consumed from Python via ctypes (no pybind11 in the
+// image). One server instance per process (like the reference's single
+// global server socket).
+//
+// Frame wire format (360_stitcher/defs.h:10-17): each capture board streams
+// raw NV12 bytes, frame_bytes = width * height_nv12 (height_nv12 = 3/2 * H).
+// Clients are ordered by the last octet of their IP minus client_addr_start
+// (netlib.c:122-150); debug_order assigns by accept order instead.
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <memory>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Frame {
+    std::vector<uint8_t> data;
+};
+
+// MPMC bounded frame queue (drop-oldest policy like clear_buffers /
+// RESULTS_MAX_SIZE call sites, 360_stitcher/timed.cpp:141-151).
+class FrameQueue {
+  public:
+    explicit FrameQueue(size_t max_size) : max_size_(max_size) {}
+
+    void push(std::vector<uint8_t>&& data) {
+        std::unique_lock<std::mutex> lk(mu_);
+        if (max_size_ && q_.size() >= max_size_) q_.pop_front();
+        q_.push_back(Frame{std::move(data)});
+        dropped_ += 0;
+        cv_.notify_one();
+    }
+
+    // Returns true and fills out if a frame arrived within timeout_ms
+    // (timeout_ms < 0 -> block forever).
+    bool pop(std::vector<uint8_t>* out, int timeout_ms) {
+        std::unique_lock<std::mutex> lk(mu_);
+        auto ready = [&] { return !q_.empty() || closed_; };
+        if (timeout_ms < 0) {
+            cv_.wait(lk, ready);
+        } else if (!cv_.wait_for(lk, std::chrono::milliseconds(timeout_ms),
+                                 ready)) {
+            return false;
+        }
+        if (q_.empty()) return false;
+        *out = std::move(q_.front().data);
+        q_.pop_front();
+        return true;
+    }
+
+    size_t size() {
+        std::unique_lock<std::mutex> lk(mu_);
+        return q_.size();
+    }
+
+    void close() {
+        std::unique_lock<std::mutex> lk(mu_);
+        closed_ = true;
+        cv_.notify_all();
+    }
+
+  private:
+    std::mutex mu_;
+    std::condition_variable cv_;
+    std::deque<Frame> q_;
+    size_t max_size_;
+    size_t dropped_ = 0;
+    bool closed_ = false;
+};
+
+class CaptureServer {
+  public:
+    CaptureServer(int port, int num_cams, size_t frame_bytes,
+                  int client_addr_start, bool debug_order, size_t max_queue)
+        : port_(port), num_cams_(num_cams), frame_bytes_(frame_bytes),
+          client_addr_start_(client_addr_start), debug_order_(debug_order) {
+        for (int i = 0; i < num_cams; ++i)
+            queues_.emplace_back(new FrameQueue(max_queue));
+    }
+
+    bool start() {
+        listen_fd_ = ::socket(AF_INET, SOCK_STREAM, 0);
+        if (listen_fd_ < 0) return false;
+        int one = 1;
+        setsockopt(listen_fd_, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+        sockaddr_in addr{};
+        addr.sin_family = AF_INET;
+        addr.sin_addr.s_addr = INADDR_ANY;
+        addr.sin_port = htons(static_cast<uint16_t>(port_));
+        if (bind(listen_fd_, reinterpret_cast<sockaddr*>(&addr),
+                 sizeof(addr)) < 0)
+            return false;
+        if (listen(listen_fd_, num_cams_) < 0) return false;
+        running_ = true;
+        accept_thread_ = std::thread([this] { acceptLoop(); });
+        return true;
+    }
+
+    void stop() {
+        running_ = false;
+        if (listen_fd_ >= 0) {
+            ::shutdown(listen_fd_, SHUT_RDWR);
+            ::close(listen_fd_);
+            listen_fd_ = -1;
+        }
+        for (auto& q : queues_) q->close();
+        for (int fd : client_fds_) {
+            ::shutdown(fd, SHUT_RDWR);
+            ::close(fd);
+        }
+        if (accept_thread_.joinable()) accept_thread_.join();
+        for (auto& t : client_threads_)
+            if (t.joinable()) t.join();
+    }
+
+    bool popFrame(int cam, uint8_t* out, int timeout_ms) {
+        if (cam < 0 || cam >= num_cams_) return false;
+        std::vector<uint8_t> buf;
+        if (!queues_[cam]->pop(&buf, timeout_ms)) return false;
+        std::memcpy(out, buf.data(), std::min(buf.size(), frame_bytes_));
+        return true;
+    }
+
+    int queueSize(int cam) {
+        if (cam < 0 || cam >= num_cams_) return -1;
+        return static_cast<int>(queues_[cam]->size());
+    }
+
+    int clientsConnected() { return clients_.load(); }
+
+  private:
+    void acceptLoop() {
+        int order = 0;
+        while (running_) {
+            sockaddr_in peer{};
+            socklen_t len = sizeof(peer);
+            int fd = ::accept(listen_fd_, reinterpret_cast<sockaddr*>(&peer),
+                              &len);
+            if (fd < 0) {
+                if (!running_) break;
+                continue;
+            }
+            // camera slot from IP last octet (netlib.c:125-150), or accept
+            // order in debug mode (networking.cpp:83-86)
+            int slot;
+            if (debug_order_) {
+                slot = order;
+            } else {
+                uint32_t ip = ntohl(peer.sin_addr.s_addr);
+                slot = static_cast<int>(ip & 0xFF) - client_addr_start_;
+            }
+            if (slot < 0 || slot >= num_cams_) {
+                ::close(fd);
+                continue;
+            }
+            ++order;
+            clients_.fetch_add(1);
+            {
+                std::lock_guard<std::mutex> lk(mu_);
+                client_fds_.push_back(fd);
+                client_threads_.emplace_back(
+                    [this, fd, slot] { recvLoop(fd, slot); });
+            }
+        }
+    }
+
+    // Reassemble fixed-size frames from the byte stream
+    // (360_stitcher/networking.cpp:15-65, incl. the 3-error retry policy).
+    void recvLoop(int fd, int slot) {
+        std::vector<uint8_t> frame(frame_bytes_);
+        size_t index = 0;
+        int error_count = 0;
+        std::vector<uint8_t> buf(64 * 1024);
+        while (running_) {
+            ssize_t n = ::recv(fd, buf.data(), buf.size(), 0);
+            if (n < 0) {
+                if (++error_count > 3) break;
+                continue;
+            }
+            if (n == 0) break;
+            error_count = 0;
+            size_t off = 0;
+            while (off < static_cast<size_t>(n)) {
+                size_t take = std::min(frame_bytes_ - index,
+                                       static_cast<size_t>(n) - off);
+                std::memcpy(frame.data() + index, buf.data() + off, take);
+                index += take;
+                off += take;
+                if (index == frame_bytes_) {
+                    queues_[slot]->push(std::move(frame));
+                    frame.assign(frame_bytes_, 0);
+                    index = 0;
+                }
+            }
+        }
+        ::close(fd);
+        clients_.fetch_sub(1);
+    }
+
+    int port_;
+    int num_cams_;
+    size_t frame_bytes_;
+    int client_addr_start_;
+    bool debug_order_;
+    int listen_fd_ = -1;
+    std::atomic<bool> running_{false};
+    std::atomic<int> clients_{0};
+    std::mutex mu_;
+    std::vector<std::unique_ptr<FrameQueue>> queues_;
+    std::vector<int> client_fds_;
+    std::vector<std::thread> client_threads_;
+    std::thread accept_thread_;
+};
+
+std::unique_ptr<CaptureServer> g_server;
+
+}  // namespace
+
+extern "C" {
+
+int stitchio_start_server(int port, int num_cams, long frame_bytes,
+                          int client_addr_start, int debug_order,
+                          long max_queue) {
+    if (g_server) return -1;
+    g_server.reset(new CaptureServer(port, num_cams,
+                                     static_cast<size_t>(frame_bytes),
+                                     client_addr_start, debug_order != 0,
+                                     static_cast<size_t>(max_queue)));
+    if (!g_server->start()) {
+        g_server.reset();
+        return -2;
+    }
+    return 0;
+}
+
+int stitchio_pop_frame(int cam, uint8_t* out, int timeout_ms) {
+    if (!g_server) return -1;
+    return g_server->popFrame(cam, out, timeout_ms) ? 0 : 1;
+}
+
+int stitchio_queue_size(int cam) {
+    return g_server ? g_server->queueSize(cam) : -1;
+}
+
+int stitchio_clients(void) {
+    return g_server ? g_server->clientsConnected() : -1;
+}
+
+void stitchio_stop_server(void) {
+    if (g_server) {
+        g_server->stop();
+        g_server.reset();
+    }
+}
+
+// --- NV12 -> packed RGB (BT.601 video range), host-side fallback ---------
+// The device path does this in ops/color.py; this exists for host-only
+// consumers (e.g. debug_stream preview) and keeps parity with
+// networking.cpp:46's cvtColor(CV_YUV2BGR_NV12).
+void stitchio_nv12_to_rgb(const uint8_t* nv12, int width, int height,
+                          uint8_t* rgb_out) {
+    const uint8_t* yp = nv12;
+    const uint8_t* uvp = nv12 + static_cast<size_t>(width) * height;
+    for (int y = 0; y < height; ++y) {
+        const uint8_t* uvrow = uvp + (y / 2) * width;
+        for (int x = 0; x < width; ++x) {
+            float Y = 1.163999f * std::max(0, yp[y * width + x] - 16);
+            float u = static_cast<float>(uvrow[(x / 2) * 2]) - 128.0f;
+            float v = static_cast<float>(uvrow[(x / 2) * 2 + 1]) - 128.0f;
+            float r = Y + 1.596027f * v;
+            float g = Y - 0.812968f * v - 0.391762f * u;
+            float b = Y + 2.017232f * u;
+            uint8_t* o = rgb_out + (static_cast<size_t>(y) * width + x) * 3;
+            o[0] = static_cast<uint8_t>(std::min(255.f, std::max(0.f, r)));
+            o[1] = static_cast<uint8_t>(std::min(255.f, std::max(0.f, g)));
+            o[2] = static_cast<uint8_t>(std::min(255.f, std::max(0.f, b)));
+        }
+    }
+}
+
+}  // extern "C"

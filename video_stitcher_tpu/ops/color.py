@@ -1,0 +1,68 @@
+"""Color conversions (device-side, batched).
+
+Replaces the cvtColor calls at 360_stitcher/networking.cpp:46 (NV12->BGR),
+featurefinder.cpp:35 (BGR->GRAY), timed.cpp:283,310-311 (BGR<->RGB,
+BGR->I420). Uses OpenCV's BT.601 full-range coefficients so outputs match
+cv2 within +-1 intensity level (integer rounding).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def nv12_to_rgb(nv12):
+    """nv12: u8 [H*3/2, W] (Y plane then interleaved UV half-height plane)
+    -> f32 RGB [H, W, 3] in [0, 255].
+    """
+    rows, w = nv12.shape
+    h = rows * 2 // 3
+    y = nv12[:h].astype(jnp.float32)
+    uv = nv12[h:].reshape(h // 2, w // 2, 2).astype(jnp.float32)
+    u = jnp.repeat(jnp.repeat(uv[..., 0], 2, axis=0), 2, axis=1) - 128.0
+    v = jnp.repeat(jnp.repeat(uv[..., 1], 2, axis=0), 2, axis=1) - 128.0
+    # OpenCV YUV2RGB_NV12 (ITU-R BT.601 video-range coefficients; the luma
+    # excursion is clamped at 0 like the fixed-point path)
+    ycc = 1.163999 * jnp.maximum(y - 16.0, 0.0)
+    r = ycc + 1.596027 * v
+    g = ycc - 0.812968 * v - 0.391762 * u
+    b = ycc + 2.017232 * u
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
+def nv12_to_bgr(nv12):
+    return nv12_to_rgb(nv12)[..., ::-1]
+
+
+def rgb_to_gray(rgb):
+    """[..., 3] RGB -> [...] gray, cv coefficients (R*0.299+G*0.587+B*0.114)."""
+    rgb = rgb.astype(jnp.float32)
+    return rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
+
+
+def bgr_to_gray(bgr):
+    return rgb_to_gray(bgr[..., ::-1])
+
+
+def swap_rb(img):
+    """BGR<->RGB."""
+    return img[..., ::-1]
+
+
+def rgb_to_i420(rgb):
+    """RGB u8/f32 [H, W, 3] -> I420 u8 [H*3/2, W] (Y plane, then quarter-res
+    U plane rows, then V plane rows), matching COLOR_BGR2YUV_I420 layout used
+    for the HEVC encoder input (360_stitcher/timed.cpp:311)."""
+    h, w = rgb.shape[0], rgb.shape[1]
+    x = rgb.astype(jnp.float32)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    y = 0.256788 * r + 0.504129 * g + 0.097906 * b + 16.0
+    u = -0.148223 * r - 0.290993 * g + 0.439216 * b + 128.0
+    v = 0.439216 * r - 0.367788 * g - 0.071427 * b + 128.0
+    # cv subsamples chroma from the top-left pixel of each 2x2 block
+    u2 = u[0::2, 0::2]
+    v2 = v[0::2, 0::2]
+    yp = jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)
+    up = jnp.clip(jnp.round(u2), 0, 255).astype(jnp.uint8).reshape(h // 4, w)
+    vp = jnp.clip(jnp.round(v2), 0, 255).astype(jnp.uint8).reshape(h // 4, w)
+    return jnp.concatenate([yp, up, vp], axis=0)

@@ -1,0 +1,121 @@
+"""Multi-chip stitching: cameras sharded over a jax Mesh.
+
+The reference is single-GPU with per-camera CUDA streams
+(360_stitcher/timed.cpp:64,127-132); the natural TPU scale-out (SURVEY.md
+§2d) shards the camera axis over devices: each chip uploads+warps+pyramids
+its own cameras, and the weighted pyramid contributions are combined with a
+single `psum` per level over ICI — the 6-camera panorama accumulation IS a
+reduction, so the collective is the whole communication story.
+
+Inside shard_map the per-camera band corners become *traced* values
+(corner = corners[axis_index]), so placement uses lax.dynamic_update_slice
+on a double-width canvas folded in half for ring wraparound (statically-known
+corners in the single-chip path keep using cheap static slicing).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from video_stitcher_tpu.calib.calibration import StitchGeometry
+from video_stitcher_tpu.calib.state import CalibState
+from video_stitcher_tpu.ops.pyramid import laplacian_pyramid, pyr_up
+from video_stitcher_tpu.ops.remap import remap_planar
+
+
+def _dyn_place(pano, band, corner, pano_w: int, wrap: bool):
+    """Add `band` [..., h, bw] into `pano` [..., h, pw] at traced x-offset."""
+    bw = band.shape[-1]
+    if not wrap:
+        corner = jnp.clip(corner, 0, pano_w - bw)
+        cur = jax.lax.dynamic_slice_in_dim(pano, corner, bw, axis=pano.ndim - 1)
+        return jax.lax.dynamic_update_slice_in_dim(pano, cur + band, corner,
+                                                   axis=pano.ndim - 1)
+    corner = jnp.mod(corner, pano_w)
+    wide = jnp.concatenate([pano, jnp.zeros_like(pano)], axis=-1)
+    cur = jax.lax.dynamic_slice_in_dim(wide, corner, bw, axis=pano.ndim - 1)
+    wide = jax.lax.dynamic_update_slice_in_dim(wide, cur + band, corner,
+                                               axis=pano.ndim - 1)
+    return wide[..., :pano_w] + wide[..., pano_w:]
+
+
+def pad_cameras(arr: np.ndarray, total: int) -> np.ndarray:
+    """Pad the leading camera axis with zeros up to `total`."""
+    if arr.shape[0] == total:
+        return arr
+    pad = [(0, total - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad)
+
+
+def shard_state(state: CalibState, geom: StitchGeometry, mesh: Mesh,
+                axis: str = "cam"):
+    """Pad camera-axis arrays to the mesh size and shard them."""
+    n_dev = mesh.shape[axis]
+    n = state.fused_maps.shape[0]
+    total = ((n + n_dev - 1) // n_dev) * n_dev
+    cam_sharding = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    fused = jax.device_put(pad_cameras(np.asarray(state.fused_maps), total),
+                           cam_sharding)
+    gains = jax.device_put(pad_cameras(np.asarray(state.gains), total),
+                           cam_sharding)
+    wpyr = tuple(jax.device_put(pad_cameras(np.asarray(w), total), cam_sharding)
+                 for w in state.weight_pyr)
+    valid = jax.device_put(np.asarray(state.valid_mask), rep)
+    corners = np.asarray(list(geom.layout.corners) + [0] * (total - n), np.int32)
+    return CalibState(fused, gains, wpyr, valid), jax.device_put(corners, rep), total
+
+
+def build_sharded_step(geom: StitchGeometry, mesh: Mesh, axis: str = "cam",
+                       total_cams: int | None = None):
+    """Returns jit(frames_u8 [total, H, W, 3] sharded on cameras, state,
+    corners) -> replicated u8 pano."""
+    lay = geom.layout
+    levels = geom.num_bands
+
+    def local_step(frames, fused, gains, wpyr, valid, corners):
+        # frames: [local_n, H, W, 3] on this device
+        local_n = frames.shape[0]
+        me = jax.lax.axis_index(axis)
+        x = jnp.moveaxis(frames, -1, 1).astype(jnp.float32)
+        bands = jax.vmap(lambda im, m: remap_planar(im, m[0], m[1]))(x, fused)
+        bands = jnp.clip(bands * gains[:, None, None, None], 0.0, 255.0)
+        lap = laplacian_pyramid(bands, levels)
+        acc = []
+        for l in range(levels + 1):
+            f = 1 << l
+            pw = lay.pano_w // f
+            ph = lay.pano_h // f
+            pano_l = jnp.zeros((3, ph, pw), jnp.float32)
+            wl = lap[l] * wpyr[l]
+            for j in range(local_n):
+                corner = corners[me * local_n + j] // f
+                pano_l = _dyn_place(pano_l, wl[j], corner, pw, lay.wrap)
+            acc.append(jax.lax.psum(pano_l, axis))
+        out = acc[-1]
+        for l in range(levels - 1, -1, -1):
+            out = acc[l] + pyr_up(out, acc[l].shape[-2], acc[l].shape[-1])
+        out = out * valid[None]
+        out = jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+        return jnp.moveaxis(out, 0, -1)
+
+    from jax.experimental.shard_map import shard_map
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis),
+                  tuple(P(axis) for _ in range(levels + 1)), P(), P()),
+        out_specs=P(),
+        check_rep=False)
+
+    @jax.jit
+    def step(frames, state: CalibState, corners):
+        return sharded(frames, state.fused_maps, state.gains,
+                       state.weight_pyr, state.valid_mask, corners)
+
+    return step

@@ -1,0 +1,182 @@
+"""Live pipeline runner — the reference main() (360_stitcher/timed.cpp:465-629)
+as a 3-stage host pipeline around the jitted stitch step:
+
+  ingest (TCP NV12 / video files / synthetic)  ->  stitch loop  ->  consumer
+plus an async recalibration job re-solving the CPW mesh every
+recalib_del_ms and hot-swapping the CalibState (timed.cpp:414-463) — an
+atomic pytree replacement instead of mesh mutexes.
+
+Run: python -m video_stitcher_tpu.pipeline.runner --config cfg.json
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from video_stitcher_tpu.config import StitcherConfig
+from video_stitcher_tpu.io_plane.queues import FrameQueue
+from video_stitcher_tpu.utils.timing import StageTimers, FpsMeter
+from video_stitcher_tpu.utils import log
+
+
+class Runner:
+    def __init__(self, cfg: StitcherConfig, source=None, sink=None,
+                 egress=None, max_frames: Optional[int] = None):
+        from video_stitcher_tpu.pipeline.stitcher import Stitcher
+        self.cfg = cfg
+        self.stitcher = Stitcher(cfg)
+        self.source = source
+        self.sink = sink
+        self.egress = egress
+        self.max_frames = max_frames
+        self.results = FrameQueue(max_size=cfg.results_max_size,
+                                  drop_oldest=cfg.clear_buffers)
+        self._latest_frames: Optional[np.ndarray] = None
+        self._latest_lock = threading.Lock()
+        self._stop = threading.Event()
+        self.timers = StageTimers(["acquire", "stitch", "output"])
+        self.fps = FpsMeter(period=30)
+        self.frames_done = 0
+
+    # --- source -------------------------------------------------------
+    def _make_source(self):
+        if self.source is not None:
+            return self.source
+        cfg = self.cfg
+        if cfg.use_stream:
+            from video_stitcher_tpu.io_plane.ingest import CaptureIngest
+            ingest = CaptureIngest(cfg)
+            ingest.start()
+
+            class _NV12Source:
+                def get_frames(self_inner):
+                    nv = ingest.get_frames(timeout=10.0)
+                    if nv is None:
+                        return None
+                    from video_stitcher_tpu.ops.color import nv12_to_rgb
+                    import jax
+                    rgb = jax.vmap(nv12_to_rgb)(nv)
+                    return np.asarray(rgb).astype(np.uint8)
+
+                def release(self_inner):
+                    ingest.stop()
+
+            return _NV12Source()
+        if cfg.video_files:
+            from video_stitcher_tpu.io_plane.video import VideoFileSource
+            return VideoFileSource(cfg.video_files, cfg.offsets,
+                                   cfg.skip_frames)
+        # fall back to synthetic rig (hardware-free demo)
+        from video_stitcher_tpu.io_plane.video import SyntheticRigSource
+        from video_stitcher_tpu.calib.calibration import plan_geometry
+        geom, _ = plan_geometry(cfg)
+        return SyntheticRigSource(cfg, geom)
+
+    # --- recalibration job (timed.cpp:414-463) --------------------------
+    def _recalib_loop(self):
+        cfg = self.cfg
+        if not (cfg.recalibrate and cfg.enable_local):
+            return
+        while not self._stop.is_set():
+            time.sleep(cfg.recalib_del_ms / 1000.0)
+            with self._latest_lock:
+                frames = self._latest_frames
+            if frames is None:
+                continue
+            t0 = time.perf_counter()
+            try:
+                self.stitcher.recalibrate_mesh(frames)
+                log.info("Rewarp: %.0f ms", (time.perf_counter() - t0) * 1e3)
+            except Exception as e:          # recalib must never kill the loop
+                log.warning("recalibration failed: %s", e)
+
+    # --- consumer (timed.cpp:182-383) -----------------------------------
+    def _consume_loop(self):
+        cfg = self.cfg
+        first = True
+        while True:
+            pano = self.results.pop(timeout=1.0)
+            if pano is None:
+                if self._stop.is_set():
+                    break
+                continue
+            out = self.stitcher.output(pano)
+            if first:
+                try:
+                    import cv2
+                    cv2.imwrite("calib.jpg", np.asarray(pano)[..., ::-1])
+                    cv2.imwrite("result.jpg", out[..., ::-1])
+                except Exception:
+                    pass
+                if cfg.save_video and self.sink is None:
+                    from video_stitcher_tpu.io_plane.video import VideoFileSink
+                    self.sink = VideoFileSink("stitched.avi", out.shape[1],
+                                              out.shape[0])
+                first = False
+            if self.sink is not None:
+                self.sink.write(out)
+            if self.egress is not None or cfg.send_results:
+                if self.egress is None:
+                    from video_stitcher_tpu.io_plane.egress import PlayerEgress
+                    self.egress = PlayerEgress(cfg)
+                try:
+                    self.egress.send_frame(out)
+                except Exception as e:
+                    log.warning("egress failed: %s", e)
+            fps = self.fps.tick()
+            if fps is not None:
+                log.info("fps: %.2f (%s)", fps, self.timers.summary())
+
+    # --- main loop -------------------------------------------------------
+    def run(self) -> None:
+        source = self._make_source()
+        frames = source.get_frames()
+        if frames is None:
+            raise RuntimeError("couldn't read initial frames")
+        t0 = time.perf_counter()
+        self.stitcher.calibrate(frames)
+        log.info("Calibration done in: %.0f ms", (time.perf_counter() - t0) * 1e3)
+
+        consumer = threading.Thread(target=self._consume_loop, daemon=True)
+        recalib = threading.Thread(target=self._recalib_loop, daemon=True)
+        consumer.start()
+        recalib.start()
+
+        try:
+            while not self._stop.is_set():
+                with self.timers.time("acquire"):
+                    frames = source.get_frames()
+                if frames is None:
+                    log.info("source exhausted")
+                    break
+                with self._latest_lock:
+                    self._latest_frames = frames
+                with self.timers.time("stitch"):
+                    pano = self.stitcher.stitch(frames, device=True)
+                    pano.block_until_ready()
+                self.results.push(pano)
+                self.frames_done += 1
+                if self.max_frames and self.frames_done >= self.max_frames:
+                    break
+        finally:
+            self._stop.set()
+            self.results.close()
+            consumer.join(timeout=10)
+            source.release()
+            if self.sink is not None:
+                self.sink.release()
+            if self.egress is not None:
+                self.egress.close()
+
+
+def main(argv=None):
+    cfg = StitcherConfig.from_args(argv)
+    Runner(cfg).run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""The online stitcher: one jitted XLA program per frame.
+
+Replaces the reference's per-frame chain upload -> resize -> remap(global) ->
+gain -> remap(mesh) -> feed_online -> blend (360_stitcher/timed.cpp:56-152)
+with a single jit: one fused gather per camera + batched pyramid blend.
+State is a CalibState pytree; swapping in a recalibrated mesh is an atomic
+replacement (no mesh mutexes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_stitcher_tpu.calib.calibration import (
+    StitchGeometry, calibrate, compose_fused_maps, plan_geometry,
+)
+from video_stitcher_tpu.calib.state import CalibState, load_state, save_state
+from video_stitcher_tpu.config import StitcherConfig
+from video_stitcher_tpu.blend.multiband import blend_bands, blend_feather
+from video_stitcher_tpu.ops.remap import remap_planar
+from video_stitcher_tpu.ops.resize import resize_planar
+
+
+def warp_bands(frames_u8, state: CalibState, geom: StitchGeometry):
+    """u8 [N, H, W, 3] -> gain-compensated warped bands f32 [N, 3, bh, bw]."""
+    x = jnp.moveaxis(frames_u8, -1, 1).astype(jnp.float32)   # [N,3,H,W]
+
+    def one(img, m):
+        return remap_planar(img, m[0], m[1], border="constant")
+
+    bands = jax.vmap(one)(x, state.fused_maps)
+    # gain (timed.cpp:94) — convertTo saturates to u8 range
+    bands = bands * state.gains[:, None, None, None]
+    return jnp.clip(bands, 0.0, 255.0)
+
+
+def stitch_pano(frames_u8, state: CalibState, geom: StitchGeometry):
+    """Full per-frame stitch -> u8 panorama [pano_h, pano_w, 3]."""
+    bands = warp_bands(frames_u8, state, geom)
+    if geom.blend_type == "feather" or geom.num_bands == 0:
+        pano = blend_feather(bands, state.weight_pyr[0][:, 0], geom.layout,
+                             state.valid_mask)
+    else:
+        pano = blend_bands(bands, state.weight_pyr, geom.layout,
+                           state.valid_mask)
+    pano = jnp.clip(jnp.round(pano), 0.0, 255.0).astype(jnp.uint8)
+    return jnp.moveaxis(pano, 0, -1)
+
+
+def output_frame(pano_u8, out_h: int, out_w: int):
+    """Consumer-side resize to the configured output (timed.cpp:281)."""
+    x = jnp.moveaxis(pano_u8, -1, 0).astype(jnp.float32)
+    y = resize_planar(x, out_h, out_w)
+    return jnp.moveaxis(jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8), 0, -1)
+
+
+class Stitcher:
+    """High-level API: calibrate once, stitch per frame.
+
+    >>> st = Stitcher(cfg); st.calibrate(frames); pano = st.stitch(frames)
+    """
+
+    def __init__(self, cfg: StitcherConfig):
+        self.cfg = cfg
+        self.geom: Optional[StitchGeometry] = None
+        self.state: Optional[CalibState] = None
+        self._step = None
+        self._out = None
+
+    # --- calibration -------------------------------------------------
+    def calibrate(self, frames: np.ndarray) -> None:
+        geom, state, aux = calibrate(frames, self.cfg)
+        self.geom = geom
+        # state is produced on the host backend; commit it to the default
+        # (TPU) device ONCE so the per-frame jit never re-transfers it
+        self.state = jax.device_put(state)
+        self.aux = aux
+        self._step = jax.jit(functools.partial(stitch_pano, geom=geom))
+        if self.cfg.enable_local:
+            # initial CPW mesh solve (calibration.cpp:299-302)
+            try:
+                self.recalibrate_mesh(frames)
+            except NotImplementedError:
+                pass
+
+    def save_calibration(self, path: str) -> None:
+        save_state(path, self.state)
+
+    def load_calibration(self, path: str, frames_shape=None) -> None:
+        if self.geom is None:
+            self.geom, _ = plan_geometry(self.cfg)
+            self._step = jax.jit(functools.partial(stitch_pano, geom=self.geom))
+        self.state = load_state(path)
+
+    # --- online ------------------------------------------------------
+    def stitch(self, frames: np.ndarray, device: bool = False):
+        """frames u8 [N, H, W, 3] -> u8 pano. device=True returns the jax
+        array without host transfer (for chained device-side consumers)."""
+        pano = self._step(jnp.asarray(frames), self.state)
+        return pano if device else np.asarray(pano)
+
+    def output(self, pano_u8):
+        """pano -> final output frame at cfg.output_* with aspect policy
+        (timed.cpp:254-292)."""
+        cfg = self.cfg
+        if self._out is None:
+            if cfg.keep_aspect_ratio:
+                oh = int(cfg.output_width / self.geom.pano_w * self.geom.pano_h + 0.5)
+                oh = min(oh, cfg.output_height)
+            else:
+                oh = cfg.output_height
+            self._out = jax.jit(functools.partial(
+                output_frame, out_h=oh, out_w=cfg.output_width))
+            self._out_h = oh
+        frame = self._out(pano_u8 if isinstance(pano_u8, jnp.ndarray)
+                          else jnp.asarray(pano_u8))
+        frame = np.asarray(frame)
+        if cfg.keep_aspect_ratio and cfg.add_black_bars:
+            canvas = np.zeros((cfg.output_height, cfg.output_width, 3), np.uint8)
+            y0 = cfg.output_height // 2 - frame.shape[0] // 2
+            canvas[y0:y0 + frame.shape[0]] = frame
+            return canvas
+        return frame
+
+    # --- recalibration (CPW mesh) -------------------------------------
+    def recalibrate_mesh(self, frames: np.ndarray) -> None:
+        """Re-solve the CPW mesh from fresh frames and swap the fused maps
+        (the reference's recalibrateMesh thread body, timed.cpp:414-463)."""
+        from video_stitcher_tpu.mesh.pipeline import solve_mesh_maps
+        mesh_maps = solve_mesh_maps(frames, self)
+        if mesh_maps is None:
+            return
+        fused = compose_fused_maps(self.geom, self.aux["band_maps"], mesh_maps)
+        self.state = self.state._replace(
+            fused_maps=jax.device_put(jnp.asarray(fused)))

@@ -1,0 +1,31 @@
+"""Pin eager control-plane array work to the host CPU backend.
+
+Calibration / mesh bookkeeping runs op-by-op (not jitted); on a tunneled
+TPU backend every eager op is a network round trip, so the control plane
+executes on the CPU backend while jitted per-frame paths stay on TPU.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+
+import jax
+
+
+@functools.lru_cache(maxsize=1)
+def _cpu_device():
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return None
+
+
+@contextlib.contextmanager
+def host_eager():
+    dev = _cpu_device()
+    if dev is None:
+        yield
+        return
+    with jax.default_device(dev):
+        yield
