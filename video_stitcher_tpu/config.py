@@ -65,6 +65,10 @@ class StitcherConfig:
     recalib_del_ms: int = 1000
     recalib_thresh_px: int = 15
     recalib_interp: bool = False
+    #: Re-warp seam weights through the mesh on recalibration
+    #: (MultiBandBlender::update_mask; disabled in the reference,
+    #: 360_stitcher/timed.cpp:598-606).
+    update_masks: bool = False
 
     # --- output / consumer (defs.h:39-40,35-36,28-33,41) ---
     output_width: int = 4096

@@ -190,14 +190,19 @@ def detect_and_describe(gray, mask=None, *, max_keypoints: int = 512,
         hs, ws = max(32, int(round(h0 / s))), max(32, int(round(w0 / s)))
         img = gray if lvl == 0 else resize_planar(gray, hs, ws)
         imgs.append(img)
-        corner, _ = _fast_corners(img, fast_threshold)
+        corner, fscore = _fast_corners(img, fast_threshold)
         harris = _harris(img)
         border = PATCH_R + 4
         hh, wh = img.shape
         yy = jnp.arange(hh)[:, None]
         xx = jnp.arange(wh)[None, :]
         inb = (yy >= border) & (yy < hh - border) & (xx >= border) & (xx < wh - border)
-        ok = corner & _nms3(harris) & inb
+        # NMS on the FAST margin score over corner pixels (as FAST does);
+        # Harris is only the *ranking* response (ORB HARRIS_SCORE,
+        # cv/cudafeatures2d/src/orb.cpp) — requiring a Harris local max at a
+        # FAST pixel rejects nearly everything on ideal corners
+        fsc = jnp.where(corner, fscore, -jnp.inf)
+        ok = corner & _nms3(fsc) & inb
         if mask is not None:
             m = mask if lvl == 0 else (resize_planar(
                 mask.astype(jnp.float32), hh, wh) > 127)
@@ -206,6 +211,23 @@ def detect_and_describe(gray, mask=None, *, max_keypoints: int = 512,
         top_v, top_i = jax.lax.top_k(resp.reshape(-1), k_per_level)
         ys_l = (top_i // wh).astype(jnp.float32)
         xs_l = (top_i % wh).astype(jnp.float32)
+        # sub-pixel refinement: 1-D quadratic fit of the FAST margin score
+        # around the NMS peak (beyond the reference, whose keypoints are
+        # integer-pixel; halves the CPW local-term quantization noise)
+        sp = jnp.pad(fscore, 1, mode="edge")
+        c0 = fscore
+        oxn, oxp = sp[1:-1, :-2], sp[1:-1, 2:]
+        oyn, oyp = sp[:-2, 1:-1], sp[2:, 1:-1]
+        dx_den = oxn - 2.0 * c0 + oxp
+        dy_den = oyn - 2.0 * c0 + oyp
+        off_x = jnp.where(jnp.abs(dx_den) > 1e-6,
+                          0.5 * (oxn - oxp) / dx_den, 0.0)
+        off_y = jnp.where(jnp.abs(dy_den) > 1e-6,
+                          0.5 * (oyn - oyp) / dy_den, 0.0)
+        off_x = jnp.clip(off_x, -0.5, 0.5).reshape(-1)[top_i]
+        off_y = jnp.clip(off_y, -0.5, 0.5).reshape(-1)[top_i]
+        xs_l = xs_l + off_x
+        ys_l = ys_l + off_y
         cand_resp.append(top_v)
         cand_x.append(xs_l * (w0 / wh))
         cand_y.append(ys_l * (h0 / hh))

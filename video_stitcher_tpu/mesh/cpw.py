@@ -55,6 +55,15 @@ class CamMatches:
     dst: int
 
 
+@dataclass
+class TemporalMatches:
+    """Matches of camera cam at frame t against the same camera at t-1
+    (meshwarper.cpp calcTemporalLocalTerm inputs, matched by
+    featurefinder::matchFeaturesTemporal)."""
+    pt: np.ndarray          # [K, 2] points in current band
+    pp: np.ndarray          # [K, 2] same points in the previous frame's band
+
+
 class CPWSolver:
     def __init__(self, num_images: int, mesh_w: int, mesh_h: int,
                  band_w: int, band_h: int, targets: Sequence[float],
@@ -72,6 +81,8 @@ class CPWSolver:
         # feature-stability state (meshwarper.cpp:208-276)
         self.prev_avg = np.zeros(num_images * 2)
         self.old_matches: List[Optional[CamMatches]] = [None] * num_images
+        # previous solved mesh, for the temporal term (meshwarper.cpp:711-786)
+        self.prev_verts: Optional[np.ndarray] = None
 
     # --- rest grid ---------------------------------------------------
     def rest_x(self, j):
@@ -173,12 +184,14 @@ class CPWSolver:
                     v1 = np.array([p1[0] * cw, p1[1] * ch])
                     v2 = np.array([j * cw, i * ch])
                     v3 = np.array([p3[0] * cw, p3[1] * ch])
-                    den = 2 * (v2[0] - v3[0]) * (v2[1] - v3[1])
-                    u = (-v1[0] * v2[1] + v1[0] * v3[1] - v2[0] * v1[1]
-                         + 2 * v2[0] * v2[1] - v2[0] * v3[1] + v3[0] * v1[1]
-                         - v3[0] * v2[1]) / den
-                    v = (v1[0] * v2[1] - v1[0] * v3[1] - v2[0] * v1[1]
-                         + v2[0] * v3[1] + v3[0] * v1[1] - v3[0] * v2[1]) / den
+                    # local-frame coords of V1 in the (V3-V2, R90(V3-V2))
+                    # basis with R90(x,y)=(y,-x); exact-zero residual at the
+                    # rest grid by construction
+                    ex, ey = v3[0] - v2[0], v3[1] - v2[1]
+                    dx_, dy_ = v1[0] - v2[0], v1[1] - v2[1]
+                    l2 = ex * ex + ey * ey
+                    u = (dx_ * ex + dy_ * ey) / l2
+                    v = (dx_ * ey - dy_ * ex) / l2
                     # salience lookup: quad containing the triangle
                     qj = min(j, p1[0], p3[0])
                     qi = min(i, p1[1], p3[1])
@@ -200,6 +213,54 @@ class CPWSolver:
                     # y residual: V1y - V2y - u(V3y-V2y) + v(V3x-V2x)
                     rows.append(([(c1y, w), (c2y, (u - 1) * w), (c2x, -v * w),
                                   (c3x, v * w), (c3y, -u * w)], 0.0))
+
+    def _bilinear_entries(self, cam: int, x: float, y: float, d: int,
+                          weight: float):
+        """4 (col, coeff) entries interpolating coordinate d at (x, y)."""
+        n_, m_ = self.N, self.M
+        t = min(int(y * (n_ - 1) / self.bh), n_ - 2)
+        l = min(int(x * (m_ - 1) / self.bw), m_ - 2)
+        cw = self.bw / (m_ - 1)
+        ch = self.bh / (n_ - 1)
+        u = x / cw - l
+        v = y / ch - t
+        return [
+            (self._col(cam, t, l, d), weight * (1 - u) * (1 - v)),
+            (self._col(cam, t, l + 1, d), weight * u * (1 - v)),
+            (self._col(cam, t + 1, l, d), weight * (1 - u) * v),
+            (self._col(cam, t + 1, l + 1, d), weight * u * v),
+        ]
+
+    def _eval_mesh(self, verts: np.ndarray, cam: int, x: float, y: float):
+        """Bilinearly interpolate solved vertex positions at band point."""
+        n_, m_ = self.N, self.M
+        t = min(int(y * (n_ - 1) / self.bh), n_ - 2)
+        l = min(int(x * (m_ - 1) / self.bw), m_ - 2)
+        cw = self.bw / (m_ - 1)
+        ch = self.bh / (n_ - 1)
+        u = x / cw - l
+        v = y / ch - t
+        q = (verts[cam, t, l] * (1 - u) * (1 - v)
+             + verts[cam, t, l + 1] * u * (1 - v)
+             + verts[cam, t + 1, l] * (1 - u) * v
+             + verts[cam, t + 1, l + 1] * u * v)
+        return q   # [2] (x, y)
+
+    def _temporal_rows(self, rows, cam: int, tm: "TemporalMatches",
+                       prev_verts: np.ndarray, a: float):
+        """Temporal local alignment (meshwarper.cpp:711-786): the current
+        mesh must move each tracked feature to where the *previous* solved
+        mesh put its match — damping frame-to-frame mesh jitter."""
+        for pt, pp in zip(tm.pt, tm.pp):
+            xt, yt = float(pt[0]), float(pt[1])
+            xp, yp = float(pp[0]), float(pp[1])
+            if not (0 <= xt < self.bw and 0 <= yt < self.bh
+                    and 0 <= xp < self.bw and 0 <= yp < self.bh):
+                continue
+            target = self._eval_mesh(prev_verts, cam, xp, yp)
+            for d in (0, 1):
+                rows.append((self._bilinear_entries(cam, xt, yt, d, a),
+                             a * float(target[d])))
 
     # --- stability reuse (meshwarper.cpp:208-276) ----------------------
     def _stability_filter(self, matches: List[Optional[CamMatches]]):
@@ -232,13 +293,19 @@ class CPWSolver:
 
     # --- main solve ----------------------------------------------------
     def solve(self, matches: List[Optional[CamMatches]],
-              band_imgs: np.ndarray) -> np.ndarray:
+              band_imgs: np.ndarray,
+              temporal: Optional[List[Optional["TemporalMatches"]]] = None,
+              ) -> np.ndarray:
         """matches[idx]: CamMatches for (src=idx, dst=idx-1 mod C) or None.
         band_imgs: f32 [C, 3, bh, bw] (for salience).
+        temporal[idx]: optional same-camera frame-(t-1) matches; only used
+        when alphas[3] > 0 and a previous solve exists (defs.h ALPHAS[3]=0
+        keeps this off by default, like the reference).
         Returns warped vertex positions f32 [C, N, M, 2] (x, y)."""
         a_local = math.sqrt(self.alphas[0])
         a_global = math.sqrt(self.alphas[1])
         a_smooth = math.sqrt(self.alphas[2])
+        a_temporal = math.sqrt(self.alphas[3]) if len(self.alphas) > 3 else 0.0
 
         fp_avg, use_old = self._stability_filter(matches)
 
@@ -255,6 +322,12 @@ class CPWSolver:
             self._global_rows(rows, cam, pts, a_global)
             sal = self._salience(band_imgs[cam])
             self._smooth_rows(rows, cam, sal, a_smooth)
+            if (a_temporal > 0.0 and temporal is not None
+                    and temporal[cam] is not None
+                    and self.prev_verts is not None
+                    and len(temporal[cam].pt)):
+                self._temporal_rows(rows, cam, temporal[cam],
+                                    self.prev_verts, a_temporal)
 
         # update stability state (meshwarper.cpp:313-334)
         for idx in range(self.C):
@@ -288,4 +361,5 @@ class CPWSolver:
                 for j in range(self.M):
                     verts[cam, i, j, 0] = x[self._col(cam, i, j, 0)]
                     verts[cam, i, j, 1] = x[self._col(cam, i, j, 1)]
+        self.prev_verts = verts
         return verts

@@ -45,8 +45,11 @@ def upsample_mesh(verts, band_h: int, band_w: int):
     n, m = verts.shape[-2], verts.shape[-1]
     mw = jnp.asarray(_upsample_matrix(m, band_w))
     mh = jnp.asarray(_upsample_matrix(n, band_h))
-    x = jnp.einsum("...nm,wm->...nw", verts.astype(jnp.float32), mw)
-    return jnp.einsum("...nw,hn->...hw", x, mh)
+    # calibration-time path: force full f32 accumulation (the platform's
+    # default matmul precision may be bf16-grade, which costs ~0.15 px here)
+    x = jnp.einsum("...nm,wm->...nw", verts.astype(jnp.float32), mw,
+                   precision="highest")
+    return jnp.einsum("...nw,hn->...hw", x, mh, precision="highest")
 
 
 def invert_forward_field(fwd, iters: int = 3):

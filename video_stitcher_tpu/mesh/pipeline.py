@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from video_stitcher_tpu.features.orb import detect_and_describe
 from video_stitcher_tpu.features.match import knn_ratio_match
 from video_stitcher_tpu.features.ransac import ransac_homography
-from video_stitcher_tpu.mesh.cpw import CamMatches, CPWSolver
+from video_stitcher_tpu.mesh.cpw import CamMatches, CPWSolver, TemporalMatches
 from video_stitcher_tpu.mesh.mesh2map import mesh_to_backward_maps
 from video_stitcher_tpu.ops.color import rgb_to_gray
 from video_stitcher_tpu.ops.remap import remap_planar
@@ -78,6 +78,10 @@ class MeshPipeline:
         self.key = jax.random.PRNGKey(rng_seed)
         self._ransac = jax.jit(ransac_homography)
         self._match = jax.jit(knn_ratio_match)
+        # previous-frame keypoints, for the temporal CPW term
+        # (featurefinder.cpp matchFeaturesTemporal); populated only when
+        # cfg.alphas[3] > 0
+        self._prev_kps = None
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -128,7 +132,30 @@ class MeshPipeline:
         if all(m is None for m in matches):
             return None
 
-        verts = self.solver.solve(matches, np.asarray(bands))
+        # temporal same-camera matches vs the previous recalibration's
+        # keypoints (featurefinder.cpp:110-170); off unless alphas[3] > 0
+        temporal: List[Optional[TemporalMatches]] = [None] * c
+        if cfg.alphas[3] > 0.0 and self._prev_kps is not None:
+            pk = self._prev_kps
+            for idx in range(c):
+                m = self._match(kps.desc[idx], pk["desc"][idx],
+                                kps.valid[idx], pk["valid"][idx],
+                                cfg.lowe_ratio)
+                ok = np.asarray(m.valid)
+                if ok.sum() == 0:
+                    continue
+                pt = np.asarray(kps.xy[idx])[np.asarray(m.query)[ok]]
+                pp = pk["xy"][idx][np.asarray(m.train)[ok]]
+                # tracked points must barely move between frames
+                near = np.hypot(*(pt - pp).T) <= Y_DIFF_MAX
+                if near.sum():
+                    temporal[idx] = TemporalMatches(pt=pt[near], pp=pp[near])
+        if cfg.alphas[3] > 0.0:
+            self._prev_kps = {"desc": np.asarray(kps.desc),
+                              "valid": np.asarray(kps.valid),
+                              "xy": np.asarray(kps.xy)}
+
+        verts = self.solver.solve(matches, np.asarray(bands), temporal)
         maps = mesh_to_backward_maps(jnp.asarray(verts),
                                      geom.layout.band_h, geom.layout.band_w)
         return np.asarray(maps)

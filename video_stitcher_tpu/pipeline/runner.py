@@ -89,8 +89,20 @@ class Runner:
                 continue
             t0 = time.perf_counter()
             try:
-                self.stitcher.recalibrate_mesh(frames)
-                log.info("Rewarp: %.0f ms", (time.perf_counter() - t0) * 1e3)
+                old_state = self.stitcher.state
+                if self.stitcher.recalibrate_mesh(frames):
+                    log.info("Rewarp: %.0f ms", (time.perf_counter() - t0) * 1e3)
+                    if cfg.recalib_interp:
+                        # animate old -> new mesh at ~33 Hz (timed.cpp:452-459)
+                        new_state = self.stitcher.state
+                        steps = max(2, cfg.recalib_del_ms // 60)
+                        for k in range(1, steps):
+                            if self._stop.is_set():
+                                break
+                            self.stitcher.state = self.stitcher.interpolate_states(
+                                old_state, new_state, k / (steps - 1))
+                            time.sleep(0.03)
+                        self.stitcher.state = new_state
             except Exception as e:          # recalib must never kill the loop
                 log.warning("recalibration failed: %s", e)
 

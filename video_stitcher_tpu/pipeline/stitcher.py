@@ -128,13 +128,49 @@ class Stitcher:
         return frame
 
     # --- recalibration (CPW mesh) -------------------------------------
-    def recalibrate_mesh(self, frames: np.ndarray) -> None:
+    def recalibrate_mesh(self, frames: np.ndarray) -> bool:
         """Re-solve the CPW mesh from fresh frames and swap the fused maps
-        (the reference's recalibrateMesh thread body, timed.cpp:414-463)."""
+        (the reference's recalibrateMesh thread body, timed.cpp:414-463).
+        Returns True if a new mesh was installed."""
         from video_stitcher_tpu.mesh.pipeline import solve_mesh_maps
         mesh_maps = solve_mesh_maps(frames, self)
         if mesh_maps is None:
-            return
+            return False
         fused = compose_fused_maps(self.geom, self.aux["band_maps"], mesh_maps)
-        self.state = self.state._replace(
+        new_state = self.state._replace(
             fused_maps=jax.device_put(jnp.asarray(fused)))
+        if self.cfg.update_masks:
+            new_state = self._rebuild_weights(new_state, mesh_maps)
+        self.state = new_state
+        return True
+
+    def _rebuild_weights(self, state: CalibState, mesh_maps) -> CalibState:
+        """Re-warp the calibration seam weights through the CPW mesh and
+        rebuild the blend weight pyramids (MultiBandBlender::update_mask,
+        blenders.cpp:297-315). The reference disabled its call sites
+        ("causes black seams", timed.cpp:598-606); here the pre-normalized
+        pyramids make the operation safe, but it stays opt-in
+        (cfg.update_masks) to preserve reference behavior."""
+        from video_stitcher_tpu.blend.multiband import build_weight_pyramids
+        from video_stitcher_tpu.ops.remap import remap_planar
+        from video_stitcher_tpu.utils.hostdev import host_eager
+        with host_eager():
+            w0 = self.aux["weights0"]
+            warped = np.stack([
+                np.asarray(remap_planar(
+                    jnp.asarray(w0[i][None]), jnp.asarray(mesh_maps[i, 0]),
+                    jnp.asarray(mesh_maps[i, 1]), border="constant"))[0]
+                for i in range(w0.shape[0])])
+            weight_pyr, valid = build_weight_pyramids(warped, self.geom.layout)
+        return state._replace(weight_pyr=jax.device_put(weight_pyr),
+                              valid_mask=jax.device_put(valid))
+
+    @staticmethod
+    def interpolate_states(old: CalibState, new: CalibState, t: float) -> CalibState:
+        """Linear blend of the resampling maps between two calibrations
+        (RECALIB_INTERP animation, timed.cpp:452-459 / interpolateMesh,
+        meshwarper.cpp:337-354). For the small per-recalibration deltas the
+        fused map is affine in the mesh, so lerping maps == lerping meshes."""
+        t = float(min(max(t, 0.0), 1.0))
+        mix = old.fused_maps * (1.0 - t) + new.fused_maps * t
+        return new._replace(fused_maps=mix)
