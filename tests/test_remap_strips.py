@@ -1,0 +1,58 @@
+"""remap_strips (production Pallas path) vs the XLA-gather reference."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from video_stitcher_tpu.ops.remap import remap_planar
+from video_stitcher_tpu.ops.remap_strips import (
+    pad_maps, plan_strips, prep_source, remap_strips, ROW_BLOCK, CHUNK_W,
+)
+
+
+def _run(maps_np, frames_u8, src_h, src_w):
+    mp = pad_maps(maps_np)
+    plan = plan_strips(mp, src_h, src_w)
+    src = prep_source(jnp.asarray(frames_u8))
+    out = remap_strips(src, jnp.asarray(mp),
+                       jnp.asarray(plan.strip_off),
+                       jnp.asarray(plan.chunk_packed),
+                       sh=plan.sh, whc=plan.whc,
+                       interpret=True)
+    return np.asarray(out), mp
+
+
+def test_remap_strips_matches_gather(rng):
+    src_h, src_w = 40, 256
+    bh, bw = 2 * ROW_BLOCK, 128
+    frames = rng.integers(0, 255, (2, src_h, src_w, 3)).astype(np.uint8)
+    gy, gx = np.mgrid[0:bh, 0:bw].astype(np.float32)
+    mx0 = gx * 1.6 + 5 * np.sin(gy / 7.0) - 10
+    my0 = gy * 1.8 + 4 * np.cos(gx / 13.0) + 2
+    maps = np.stack([np.stack([mx0, my0]),
+                     np.stack([mx0 * 0.9 + 6, my0 * 0.8 + 1])]).astype(np.float32)
+    out, mp = _run(maps, frames, src_h, src_w)
+    for n in range(2):
+        img = np.moveaxis(frames[n], -1, 0).astype(np.float32)
+        gold = np.asarray(remap_planar(img, mp[n, 0], mp[n, 1],
+                                       border="constant"))
+        # both interpolation stages fold bilinear weights into bf16
+        # matrices: <=2^-9 relative weight rounding each -> <=~1/255
+        # output error, well inside the reference's own +-3 blend
+        # tolerance (test_blenders.cuda.cpp:95)
+        np.testing.assert_allclose(out[n], gold, atol=1.3)
+
+
+def test_remap_strips_invalid_regions(rng):
+    """-1 markers and out-of-range taps must produce exact zeros."""
+    src_h, src_w = 24, 256
+    bh, bw = ROW_BLOCK, 128
+    frames = rng.integers(1, 255, (1, src_h, src_w, 3)).astype(np.uint8)
+    mx = np.full((bh, bw), -1.0, np.float32)
+    my = np.full((bh, bw), -1.0, np.float32)
+    mx[:, :32] = 50.0
+    my[:, :32] = 10.0
+    mx[:, 32:40] = 500.0           # out of range -> 0
+    my[:, 32:40] = 10.0
+    out, _ = _run(np.stack([mx, my])[None], frames, src_h, src_w)
+    assert np.all(out[0, :, :, :32] > 0)
+    assert np.all(out[0, :, :, 32:] == 0.0)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 class CalibState(NamedTuple):
     #: f32 [N, 2, bandH, bandW] — fused backward maps (full-res source px
     #: coords per band output px): compose-resize ∘ global warp ∘ CPW mesh.
+    #: Padded to the Pallas tile grid when the strip-warp path is active.
     fused_maps: jnp.ndarray
     #: f32 [N] — per-camera gains (exposure_compensate.cpp:125-150).
     gains: jnp.ndarray
@@ -26,6 +27,11 @@ class CalibState(NamedTuple):
     weight_pyr: Tuple[jnp.ndarray, ...]
     #: f32 [pano_h, pano_w] — 1 where any camera contributes.
     valid_mask: jnp.ndarray
+    #: i32 [N, nrb] — strip row offsets for the Pallas warp (None on the
+    #: XLA-gather fallback path). See ops/remap_strips.plan_strips.
+    warp_strip_off: jnp.ndarray | None = None
+    #: i32 [N, nrb, ncc] — packed per-chunk window offsets (None = gather).
+    warp_chunk_packed: jnp.ndarray | None = None
 
 
 def save_state(path: str, state: CalibState, extra: dict | None = None) -> None:
@@ -37,6 +43,9 @@ def save_state(path: str, state: CalibState, extra: dict | None = None) -> None:
     }
     for i, w in enumerate(state.weight_pyr):
         data[f"weight_pyr_{i}"] = np.asarray(w)
+    if state.warp_strip_off is not None:
+        data["warp_strip_off"] = np.asarray(state.warp_strip_off)
+        data["warp_chunk_packed"] = np.asarray(state.warp_chunk_packed)
     if extra:
         for k, v in extra.items():
             data["extra_" + k] = v
@@ -51,4 +60,8 @@ def load_state(path: str) -> CalibState:
         gains=jnp.asarray(z["gains"]),
         weight_pyr=tuple(jnp.asarray(z[f"weight_pyr_{i}"]) for i in range(n)),
         valid_mask=jnp.asarray(z["valid_mask"]),
+        warp_strip_off=(jnp.asarray(z["warp_strip_off"])
+                        if "warp_strip_off" in z else None),
+        warp_chunk_packed=(jnp.asarray(z["warp_chunk_packed"])
+                           if "warp_chunk_packed" in z else None),
     )

@@ -102,6 +102,10 @@ class StitcherConfig:
     #: Fuse compose-resize + global warp + mesh warp into one backward map
     #: (the TPU-native fast path). Disable for bit-closer reference parity.
     fuse_maps: bool = True
+    #: Use the Pallas strip-warp kernel (ops/remap_strips) for the per-frame
+    #: resample on TPU; falls back to the XLA gather when off or unsupported
+    #: (CPU backend, source width not 128-aligned).
+    use_pallas_remap: bool = True
     #: devices along the camera axis for multi-chip stitching (1 = single chip)
     camera_shards: int = 1
 

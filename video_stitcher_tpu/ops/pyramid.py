@@ -6,19 +6,70 @@ pyr_up.cu) which the reference's blender calls ~6*(2B) times per frame
 [1 4 6 4 1]/16 separable Gaussian, BORDER_REFLECT_101, even-phase
 downsample; pyrUp zero-stuffs and convolves with the same kernel times 4.
 
-TPU notes: operates on [..., H, W] planar tensors so W rides the 128-lane
-axis; the separable convolution is expressed as shifted adds on a padded
-array, which XLA fuses into a couple of VPU passes. The framework sizes all
-pyramid inputs to multiples of 2^levels, so every level divides exactly by
-two and shapes stay static.
+TPU notes: each axis of the separable convolution+resample is a banded
+linear map, materialized as a small dense matrix at trace time and applied
+as a matmul — pyramids become pure MXU work. The earlier formulation
+(reflect jnp.pad + shifted adds + stack/reshape interleaves) lowered to
+lane relayouts that ran ~100x slower than the matmuls on real hardware.
+The framework sizes all pyramid inputs to multiples of 2^levels, so every
+level divides exactly by two and shapes stay static.
 """
 
 from __future__ import annotations
 
+import functools
+
+import numpy as np
 import jax.numpy as jnp
 
 # [1, 4, 6, 4, 1] / 16
 _K = (0.0625, 0.25, 0.375, 0.25, 0.0625)
+
+
+def _reflect101(i: np.ndarray, n: int) -> np.ndarray:
+    """cv BORDER_REFLECT_101 index fold (gfedcb|abcdefgh|gfedcba)."""
+    if n == 1:
+        return np.zeros_like(i)
+    period = 2 * (n - 1)
+    m = np.mod(i, period)
+    m = np.where(m < 0, m + period, m)
+    return np.where(m >= n, period - m, m)
+
+
+@functools.lru_cache(maxsize=256)
+def _down_matrix(n: int) -> np.ndarray:
+    """[ceil(n/2), n]: 5-tap blur + even-phase decimate, reflect101."""
+    n2 = (n + 1) // 2
+    m = np.zeros((n2, n), np.float64)
+    rows = np.arange(n2)
+    for t in range(5):
+        idx = _reflect101(2 * rows + t - 2, n)
+        np.add.at(m, (rows, idx), _K[t])
+    return m.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=256)
+def _up_matrix(n: int, n_out: int) -> np.ndarray:
+    """[n_out, n]: zero-stuff + 5-tap conv * 4 (cv::pyrUp).
+
+    cv reflects in the zero-stuffed (even-length) domain: the leading pad
+    is reflect101 (a[-1] -> a[1]) but the trailing pad replicates
+    (a[n] -> a[n-1]).
+    """
+    m = np.zeros((n_out, n), np.float64)
+
+    def fold(i):
+        i = np.where(i < 0, -i, i)
+        return np.minimum(i, n - 1)
+
+    rows = np.arange(n_out)
+    even = rows % 2 == 0
+    i = rows // 2
+    for t, w in ((-1, _K[0]), (0, _K[2]), (1, _K[4])):     # even outputs
+        np.add.at(m, (rows[even], fold(i[even] + t)), 2.0 * w)
+    for t, w in ((0, _K[1]), (1, _K[3])):                  # odd outputs
+        np.add.at(m, (rows[~even], fold(i[~even] + t)), 2.0 * w)
+    return m.astype(np.float32)
 
 
 def _pad_reflect101(x, axis: int, before: int, after: int):
@@ -41,51 +92,31 @@ def _conv5(x, axis: int):
 
 
 def pyr_down(x):
-    """[..., H, W] -> [..., ceil(H/2), ceil(W/2)]: blur then even-phase decimate."""
-    y = _conv5(_conv5(x.astype(jnp.float32), -1), -2)
-    return y[..., ::2, ::2]
+    """[..., H, W] -> [..., ceil(H/2), ceil(W/2)]: blur then even-phase
+    decimate, as two banded matmuls (MXU)."""
+    x = x.astype(jnp.float32)
+    h, w = x.shape[-2], x.shape[-1]
+    dw = jnp.asarray(_down_matrix(w))                        # [w2, w]
+    dh = jnp.asarray(_down_matrix(h))                        # [h2, h]
+    y = jnp.einsum("...hw,ow->...ho", x, dw,
+                   preferred_element_type=jnp.float32, precision="highest")
+    return jnp.einsum("...hw,oh->...ow", y, dh,
+                      preferred_element_type=jnp.float32, precision="highest")
 
 
 def pyr_up(x, out_h=None, out_w=None):
-    """[..., h, w] -> [..., 2h, 2w]: zero-stuff then blur with 4x kernel.
-
-    Matches cv::pyrUp for even output sizes (all blender shapes here are
-    multiples of 2^levels so only the even case is exercised).
-    """
+    """[..., h, w] -> [..., out_h, out_w]: zero-stuff then blur with 4x
+    kernel (cv::pyrUp), as two banded matmuls (MXU)."""
     h, w = x.shape[-2], x.shape[-1]
     out_h = out_h or 2 * h
     out_w = out_w or 2 * w
     x = x.astype(jnp.float32)
-
-    # Zero-stuffed conv along one axis collapses to two 3-tap / 2-tap phases:
-    #   even outputs: k[0]*a[i-1] + k[2]*a[i] + k[4]*a[i+1]
-    #   odd  outputs: k[1]*a[i]   + k[3]*a[i+1]
-    # cv reflects in the zero-stuffed (even-length) domain, which makes the
-    # leading pad reflect101 (a[-1] -> a[1]) but the trailing pad replicate
-    # (a[n] -> a[n-1]); times 4 overall.
-    def up_axis(a, axis, n_out):
-        n = a.shape[axis]
-
-        def sl(arr, off, count):
-            idx = [slice(None)] * arr.ndim
-            idx[axis] = slice(off, off + count)
-            return arr[tuple(idx)]
-
-        lead = sl(a, 1, 1) if n > 1 else sl(a, 0, 1)
-        trail = sl(a, n - 1, 1)
-        ap = jnp.concatenate([lead, a, trail], axis=axis)
-
-        even = _K[0] * sl(ap, 0, n) + _K[2] * sl(ap, 1, n) + _K[4] * sl(ap, 2, n)
-        odd = _K[1] * sl(ap, 1, n) + _K[3] * sl(ap, 2, n)
-        out = jnp.stack([even, odd], axis=axis + 1 if axis >= 0 else a.ndim + axis + 1)
-        shape = list(a.shape)
-        shape[axis] = 2 * n
-        out = out.reshape(shape)
-        return sl(out, 0, n_out) * 2.0
-
-    y = up_axis(x, x.ndim - 1, out_w)
-    y = up_axis(y, x.ndim - 2, out_h)
-    return y
+    uw = jnp.asarray(_up_matrix(w, out_w))                   # [Wo, w]
+    uh = jnp.asarray(_up_matrix(h, out_h))                   # [Ho, h]
+    y = jnp.einsum("...hw,ow->...ho", x, uw,
+                   preferred_element_type=jnp.float32, precision="highest")
+    return jnp.einsum("...hw,oh->...ow", y, uh,
+                      preferred_element_type=jnp.float32, precision="highest")
 
 
 def gaussian_pyramid(x, levels: int):

@@ -26,22 +26,38 @@ from video_stitcher_tpu.ops.remap import remap_planar
 from video_stitcher_tpu.ops.resize import resize_planar
 
 
-def warp_bands(frames_u8, state: CalibState, geom: StitchGeometry):
-    """u8 [N, H, W, 3] -> gain-compensated warped bands f32 [N, 3, bh, bw]."""
-    x = jnp.moveaxis(frames_u8, -1, 1).astype(jnp.float32)   # [N,3,H,W]
+def warp_bands(frames_u8, state: CalibState, geom: StitchGeometry,
+               warp_static=None):
+    """u8 [N, H, W, 3] -> gain-compensated warped bands f32 [N, 3, bh, bw].
 
-    def one(img, m):
-        return remap_planar(img, m[0], m[1], border="constant")
+    warp_static = (sh, whc) selects the production Pallas strip-warp kernel
+    (ops/remap_strips) — the state then carries padded maps + the strip
+    plan; None falls back to the XLA gather (CPU tests / odd geometries).
+    """
+    lay = geom.layout
+    if warp_static is not None:
+        from video_stitcher_tpu.ops.remap_strips import (
+            prep_source, remap_strips)
+        sh, whc = warp_static
+        src = prep_source(frames_u8)
+        bands = remap_strips(src, state.fused_maps, state.warp_strip_off,
+                             state.warp_chunk_packed, sh=sh, whc=whc)
+        bands = bands[:, :, :lay.band_h, :lay.band_w]
+    else:
+        x = jnp.moveaxis(frames_u8, -1, 1).astype(jnp.float32)   # [N,3,H,W]
 
-    bands = jax.vmap(one)(x, state.fused_maps)
+        def one(img, m):
+            return remap_planar(img, m[0], m[1], border="constant")
+
+        maps = state.fused_maps[:, :, :lay.band_h, :lay.band_w]
+        bands = jax.vmap(one)(x, maps)
     # gain (timed.cpp:94) — convertTo saturates to u8 range
     bands = bands * state.gains[:, None, None, None]
     return jnp.clip(bands, 0.0, 255.0)
 
 
-def stitch_pano(frames_u8, state: CalibState, geom: StitchGeometry):
-    """Full per-frame stitch -> u8 panorama [pano_h, pano_w, 3]."""
-    bands = warp_bands(frames_u8, state, geom)
+def blend_pack(bands, state: CalibState, geom: StitchGeometry):
+    """Warped bands -> u8 panorama (blend + quantize + HWC)."""
     if geom.blend_type == "feather" or geom.num_bands == 0:
         pano = blend_feather(bands, state.weight_pyr[0][:, 0], geom.layout,
                              state.valid_mask)
@@ -50,6 +66,13 @@ def stitch_pano(frames_u8, state: CalibState, geom: StitchGeometry):
                            state.valid_mask)
     pano = jnp.clip(jnp.round(pano), 0.0, 255.0).astype(jnp.uint8)
     return jnp.moveaxis(pano, 0, -1)
+
+
+def stitch_pano(frames_u8, state: CalibState, geom: StitchGeometry,
+                warp_static=None):
+    """Full per-frame stitch -> u8 panorama [pano_h, pano_w, 3]."""
+    bands = warp_bands(frames_u8, state, geom, warp_static)
+    return blend_pack(bands, state, geom)
 
 
 def output_frame(pano_u8, out_h: int, out_w: int):
@@ -71,16 +94,21 @@ class Stitcher:
         self.state: Optional[CalibState] = None
         self._step = None
         self._out = None
+        self._warp_static = None
 
     # --- calibration -------------------------------------------------
     def calibrate(self, frames: np.ndarray) -> None:
         geom, state, aux = calibrate(frames, self.cfg)
         self.geom = geom
+        self.aux = aux
+        self._warp_static = None
+        state = self._plan_warp(state)
         # state is produced on the host backend; commit it to the default
         # (TPU) device ONCE so the per-frame jit never re-transfers it
-        self.state = jax.device_put(state)
-        self.aux = aux
-        self._step = jax.jit(functools.partial(stitch_pano, geom=geom))
+        # (via host numpy — see utils.hostdev.commit)
+        from video_stitcher_tpu.utils.hostdev import commit
+        self.state = commit(state)
+        self._build_step()
         if self.cfg.enable_local:
             # initial CPW mesh solve (calibration.cpp:299-302)
             try:
@@ -88,14 +116,64 @@ class Stitcher:
             except NotImplementedError:
                 pass
 
+    def _build_step(self) -> None:
+        """Build the per-frame step.
+
+        On TPU the step runs as TWO jitted programs (warp | blend+pack):
+        the backend's compiler pessimizes the warp-kernel + pyramid fusion
+        badly when they share one program (measured 1.7 s fused vs ~90 ms
+        chained), and the intermediate bands array stays on device. On CPU
+        (tests) one fused program is better.
+        """
+        geom = self.geom
+        if self._warp_static is not None:
+            warp_j = jax.jit(functools.partial(
+                warp_bands, geom=geom, warp_static=self._warp_static))
+            blend_j = jax.jit(functools.partial(blend_pack, geom=geom))
+
+            def step(frames, state):
+                return blend_j(warp_j(frames, state), state)
+
+            self._step = step
+        else:
+            self._step = jax.jit(functools.partial(
+                stitch_pano, geom=geom, warp_static=None))
+
+    def _use_strip_warp(self) -> bool:
+        cfg = self.cfg
+        return (cfg.use_pallas_remap
+                and jax.default_backend() == "tpu"
+                and cfg.input_width % 128 == 0
+                and cfg.input_width >= 256)
+
+    def _plan_warp(self, state: CalibState) -> CalibState:
+        """Attach the strip-warp plan (pad maps, window offsets) to the
+        state; chooses the Pallas vs gather path."""
+        if not self._use_strip_warp():
+            return state
+        from video_stitcher_tpu.ops.remap_strips import pad_maps, plan_strips
+        mp = pad_maps(np.asarray(state.fused_maps))
+        prev = self._warp_static or (0, 0)
+        # min sizes keep the jitted shapes stable across mesh recalibrations
+        plan = plan_strips(mp, self.cfg.input_height, self.cfg.input_width,
+                           min_sh=prev[0], min_whc=prev[1])
+        self._warp_static = (plan.sh, plan.whc)
+        return state._replace(
+            fused_maps=jnp.asarray(mp),
+            warp_strip_off=jnp.asarray(plan.strip_off),
+            warp_chunk_packed=jnp.asarray(plan.chunk_packed))
+
     def save_calibration(self, path: str) -> None:
         save_state(path, self.state)
 
     def load_calibration(self, path: str, frames_shape=None) -> None:
         if self.geom is None:
             self.geom, _ = plan_geometry(self.cfg)
-            self._step = jax.jit(functools.partial(stitch_pano, geom=self.geom))
-        self.state = load_state(path)
+        from video_stitcher_tpu.utils.hostdev import commit
+        self._warp_static = None
+        state = self._plan_warp(load_state(path))
+        self.state = commit(state)
+        self._build_step()
 
     # --- online ------------------------------------------------------
     def stitch(self, frames: np.ndarray, device: bool = False):
@@ -137,8 +215,14 @@ class Stitcher:
         if mesh_maps is None:
             return False
         fused = compose_fused_maps(self.geom, self.aux["band_maps"], mesh_maps)
-        new_state = self.state._replace(
-            fused_maps=jax.device_put(jnp.asarray(fused)))
+        prev_static = self._warp_static
+        new_state = self._plan_warp(self.state._replace(
+            fused_maps=jnp.asarray(fused)))
+        if self._warp_static != prev_static:
+            # window sizes grew: re-jit with the new static shapes
+            self._build_step()
+        from video_stitcher_tpu.utils.hostdev import commit
+        new_state = commit(new_state)
         if self.cfg.update_masks:
             new_state = self._rebuild_weights(new_state, mesh_maps)
         self.state = new_state
@@ -162,8 +246,9 @@ class Stitcher:
                     jnp.asarray(mesh_maps[i, 1]), border="constant"))[0]
                 for i in range(w0.shape[0])])
             weight_pyr, valid = build_weight_pyramids(warped, self.geom.layout)
-        return state._replace(weight_pyr=jax.device_put(weight_pyr),
-                              valid_mask=jax.device_put(valid))
+        from video_stitcher_tpu.utils.hostdev import commit
+        return state._replace(weight_pyr=commit(weight_pyr),
+                              valid_mask=commit(valid))
 
     @staticmethod
     def interpolate_states(old: CalibState, new: CalibState, t: float) -> CalibState:

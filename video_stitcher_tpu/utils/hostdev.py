@@ -29,3 +29,21 @@ def host_eager():
         return
     with jax.default_device(dev):
         yield
+
+
+def commit(tree):
+    """Move a pytree of arrays to the default (accelerator) device.
+
+    Always round-trips leaves through host numpy: on the tunneled TPU
+    backend, a buffer device_put directly from the CPU *jax* backend stays
+    pathologically slow to access from compiled programs (measured 25x on
+    the blend step); a fresh device_put from host memory is fast.
+    """
+    import numpy as np
+
+    def leaf(x):
+        if x is None:
+            return None
+        return jax.device_put(np.asarray(x))
+
+    return jax.tree_util.tree_map(leaf, tree)
