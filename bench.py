@@ -48,13 +48,24 @@ def main():
     st.calibrate(frames)
     calib_s = time.perf_counter() - t0
 
-    # fidelity vs ground truth
+    # fidelity vs ground truth (limited by the bilinear minification the
+    # compose-scale warp performs — the reference's remap does the same)
     pano = st.stitch(frames)
     valid = np.asarray(st.state.valid_mask) > 0
     h = geom.pano_h
     gt = np.moveaxis(scene, 0, -1)
     sel = valid[h // 4:3 * h // 4]
     fidelity = psnr(pano[h // 4:3 * h // 4][sel], gt[h // 4:3 * h // 4][sel])
+
+    # parity vs a gold implementation (BASELINE.md's "PSNR vs reference
+    # stitched output"): the XLA-gather + full-precision path, itself
+    # gold-tested against OpenCV semantics in tests/
+    from video_stitcher_tpu.pipeline.stitcher import stitch_pano
+    import functools as _ft
+    gold_step = jax.jit(_ft.partial(stitch_pano, geom=st.geom,
+                                    warp_static=None))
+    pano_gold = np.asarray(gold_step(jnp.asarray(frames), st.state))
+    parity = psnr(pano[valid > 0], pano_gold[valid > 0])
 
     step = st._step
     state = st.state
@@ -95,7 +106,8 @@ def main():
         "vs_baseline": round(fps / 60.0, 3),
         "p50_latency_ms": round(p50_ms, 2),
         "h2d_upload_ms_devtunnel": round(h2d_ms, 1),
-        "psnr_db": round(float(fidelity), 2),
+        "psnr_vs_gold_db": round(float(parity), 2),
+        "psnr_vs_scene_db": round(float(fidelity), 2),
         "calibration_s": round(calib_s, 2),
         "pano": [geom.pano_h, geom.pano_w],
         "device": str(jax.devices()[0]),

