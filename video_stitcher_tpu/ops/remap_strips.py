@@ -14,23 +14,26 @@ change — the maps are FIXED between mesh re-solves):
     tap of that row-block (strip height is data-dependent but bounded;
     static cap SH) from HBM to VMEM.
  2. Each row-block is split into chunks of 32 output columns. Within a
-    chunk the source taps fall in a window of <= WHC rows x 128 cols
-    (measured 48x92 for the 6-cam 1080p rig). Mosaic only allows dynamic
-    *lane* indexing at multiples of 128, so the kernel loads a 256-lane
-    slab at the 128-aligned floor of the window start and rotates it into
-    place with a dynamic lane roll (tpu.DynamicRotate) — the TPU's
-    "unaligned load".
- 3. A bilinear sample is two exact row-gathers + interpolation: the
-    one-hot matrices onehot(y0), onehot(y0+1) are exact in bf16, the
-    source values are u8-exact in bf16, so two bf16 MXU matmuls with f32
-    accumulation gather rows y0/y1 *exactly*; the fy/fx mixing runs on the
-    VPU in f32. Total arithmetic ~0.7 TF(bf16)/frame vs the 3.3 TF a
-    whole-window formulation would need.
+    chunk the source taps fall in a window of <= WHC rows (measured ~64
+    for the 6-cam 1080p rig). Mosaic only allows dynamic *lane* indexing
+    at multiples of 128, so the kernel reads a 256-lane slab at the
+    128-aligned floor of the window start and folds the sub-slab offset
+    into the weight matrix instead of moving the data.
+ 3. Bilinear separates into per-axis tent kernels w(k) = relu(1-|k-l|).
+    The X stage materializes the tent weights as a [256 out-px, 256 lane]
+    bf16 matrix and contracts it against the slab on the MXU (channels
+    stacked along slab rows, f32 accumulation); the Y stage applies the
+    whc-wide tent mix on the VPU. Fully-invalid chunks are skipped via a
+    sign flag in the packed offsets; strips are double-buffered across
+    grid steps. ~0.4 TF(bf16)/frame of matmul vs the 3.3 TF a
+    whole-window one-hot formulation would need.
 
-Out-of-source taps (mx/my < 0 or >= src size, including the reference's
--1 "invalid" marker, build_warp_maps.cu:103-106) match no one-hot column
-and contribute exactly 0 — BORDER_CONSTANT semantics, matching
-ops.remap.remap_planar(border="constant").
+Out-of-source taps (beyond the source or at the reference's -1 "invalid"
+marker, build_warp_maps.cu:103-106) fall outside every tent support and
+contribute exactly 0; coords within 1 px of the border keep their exact
+partial-tap weight — BORDER_CONSTANT semantics, matching
+ops.remap.remap_planar(border="constant"), verified to 0.5/255
+(bf16 weight rounding) against it on the real rig maps.
 """
 
 from __future__ import annotations
@@ -241,21 +244,18 @@ def _kernel(strip_off, chunk_packed, src_hbm, map_ref,
                 # no lane rotate of the source data is needed at all
                 lx = mxj - c128.astype(jnp.float32)
                 ly = myj - (s0 + r0).astype(jnp.float32)
-                x0 = jnp.floor(lx)
-                y0 = jnp.floor(ly)
-                fx = lx - x0
-                fy = ly - y0
+                # Bilinear weights ARE the tent function relu(1 - |k - l|):
+                # one subtract/abs/relu chain replaces two one-hot compare+
+                # select+mix chains, and out-of-source taps get weight 0
+                # with exactly the gather path's partial-tap semantics.
 
-                # X-stage as ONE matmul: bilinear x-weights folded into a
-                # [256, 256] bf16 matrix, contracted against the slab with
-                # channels stacked along slab *rows* -> [256, C*whc]
+                # X-stage as ONE matmul: tent x-weights as a [256, 256]
+                # bf16 matrix, contracted against the slab with channels
+                # stacked along slab *rows* -> [256, C*whc]
                 kx = jax.lax.broadcasted_iota(
-                    jnp.int32, (ROW_BLOCK, CHUNK_W, SLAB_W), 2)
-                x0i = x0.astype(jnp.int32)
-                wxm = ((kx == x0i[:, :, None]).astype(jnp.float32)
-                       * (1.0 - fx)[:, :, None]
-                       + (kx == (x0i + 1)[:, :, None]).astype(jnp.float32)
-                       * fx[:, :, None])
+                    jnp.int32, (ROW_BLOCK, CHUNK_W, SLAB_W), 2
+                ).astype(jnp.float32)
+                wxm = jnp.maximum(0.0, 1.0 - jnp.abs(kx - lx[:, :, None]))
                 wxm = wxm.astype(jnp.bfloat16).reshape(
                     ROW_BLOCK * CHUNK_W, SLAB_W)
 
@@ -267,14 +267,14 @@ def _kernel(strip_off, chunk_packed, src_hbm, map_ref,
                     wxm, slab, dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)      # [256, C*whc]
 
-                # Y-stage on the VPU: two-tap mix over whc lanes per channel
+                # Y-stage on the VPU: tent y-weights + two-tap mix over whc
+                # lanes per channel
                 ky = jax.lax.broadcasted_iota(
-                    jnp.int32, (ROW_BLOCK, CHUNK_W, whc), 2)
-                y0i = y0.astype(jnp.int32)
-                wym = ((ky == y0i[:, :, None]).astype(jnp.float32)
-                       * (1.0 - fy)[:, :, None]
-                       + (ky == (y0i + 1)[:, :, None]).astype(jnp.float32)
-                       * fy[:, :, None]).reshape(ROW_BLOCK * CHUNK_W, whc)
+                    jnp.int32, (ROW_BLOCK, CHUNK_W, whc), 2
+                ).astype(jnp.float32)
+                wym = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(ky - ly[:, :, None])
+                ).reshape(ROW_BLOCK * CHUNK_W, whc)
                 vals = []
                 for c in range(channels):
                     tc = t1[:, c * whc:(c + 1) * whc]
