@@ -133,3 +133,35 @@ def test_dilate3x3_vs_cv2(rng):
     gold = cv2.dilate(m, np.ones((3, 3), np.uint8))
     got = np.asarray(dilate3x3(m))
     np.testing.assert_allclose(got, gold)
+
+
+def test_nv12_planar_matches_hwc(rng):
+    from video_stitcher_tpu.ops.color import nv12_to_rgb, nv12_to_rgb_planar
+    import jax.numpy as jnp
+    nv = rng.integers(0, 255, (24, 64)).astype(np.uint8)
+    hwc = np.asarray(nv12_to_rgb(jnp.asarray(nv)))
+    planar = np.asarray(nv12_to_rgb_planar(jnp.asarray(nv)))
+    np.testing.assert_allclose(np.moveaxis(planar, 0, -1), hwc, atol=1e-3)
+
+
+def test_stitch_nv12_matches_rgb():
+    """stitch_nv12 must agree with stitch() fed the converted RGB."""
+    import jax
+    import jax.numpy as jnp
+    from video_stitcher_tpu.config import StitcherConfig
+    from video_stitcher_tpu import Stitcher
+    from video_stitcher_tpu.ops.color import nv12_to_rgb
+    rng = np.random.default_rng(5)
+    cfg = StitcherConfig(num_images=2, input_width=128, input_height=64,
+                         enable_local=False, recalibrate=False,
+                         yaws=(0.0, 1.0), wrap_around=False)
+    nv = rng.integers(0, 255, (2, 96, 128)).astype(np.uint8)
+    rgb = np.asarray(jax.vmap(nv12_to_rgb)(jnp.asarray(nv))).astype(np.uint8)
+    st = Stitcher(cfg)
+    st.calibrate(rgb)
+    a = st.stitch_nv12(nv)
+    b = st.stitch(rgb)
+    # the RGB path quantizes the converted frames to u8 first; the NV12
+    # path keeps them in bf16, so allow the rounding step
+    diff = np.abs(a.astype(int) - b.astype(int))
+    assert diff.max() <= 2, diff.max()

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Per-op performance suite (the reference's cv ts-perf harness analog,
+sources/modules/*/perf/). Times every hot op on the current default device
+with honest sync (a small D2H read closes each measurement — the axon
+tunnel's block_until_ready is unreliable) and prints one JSON line per op.
+
+Run: python tools/perf_suite.py [--iters 8]
+"""
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def _sync(x):
+    import jax
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return np.asarray(leaf.ravel()[:4])
+
+
+def timeit(fn, *args, iters=8, name="", meta=None):
+    _sync(fn(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    ms = (time.perf_counter() - t0) / iters * 1e3
+    rec = {"op": name, "ms": round(ms, 2)}
+    if meta:
+        rec.update(meta)
+    print(json.dumps(rec))
+    return ms
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args(argv)
+    it = args.iters
+
+    import jax
+    import jax.numpy as jnp
+    from video_stitcher_tpu.config import StitcherConfig
+    from video_stitcher_tpu import Stitcher
+    from video_stitcher_tpu.pipeline.stitcher import (
+        warp_bands, blend_pack, output_frame)
+    from video_stitcher_tpu.ops.pyramid import pyr_down, pyr_up
+    from video_stitcher_tpu.ops.resize import resize_planar
+    from video_stitcher_tpu.ops.remap_strips import prep_source_nv12
+
+    print(json.dumps({"device": str(jax.devices()[0])}))
+    cfg = StitcherConfig(num_images=6, input_width=1920, input_height=1080,
+                         enable_local=False, recalibrate=False)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (6, 1080, 1920, 3)).astype(np.uint8)
+    st = Stitcher(cfg)
+    st.calibrate(frames)
+    state = st.state
+    geom = st.geom
+    fj = jax.device_put(frames)
+    _sync(fj)
+
+    warp_j = jax.jit(functools.partial(
+        warp_bands, geom=geom, warp_static=st._warp_static))
+    bands = warp_j(fj, state)
+    _sync(bands)
+    timeit(warp_j, fj, state, iters=it, name="warp_bands",
+           meta={"path": "pallas" if st._warp_static else "gather",
+                 "shape": "6x1080p->6x1280x1664"})
+
+    blend_j = jax.jit(functools.partial(blend_pack, geom=geom))
+    pano = blend_j(bands, state)
+    _sync(pano)
+    timeit(blend_j, bands, state, iters=it, name="blend_pack",
+           meta={"bands": geom.num_bands})
+
+    out_j = jax.jit(functools.partial(output_frame, out_h=1052, out_w=4096))
+    timeit(out_j, pano, iters=it, name="output_resize_4k")
+
+    x = jax.device_put(jnp.asarray(
+        rng.random((6, 3, 1280, 1664)).astype(np.float32)))
+    _sync(x)
+    timeit(jax.jit(pyr_down), x, iters=it, name="pyr_down_L0")
+    small = jax.jit(pyr_down)(x)
+    timeit(jax.jit(lambda a: pyr_up(a, 1280, 1664)), small, iters=it,
+           name="pyr_up_L0")
+    timeit(jax.jit(lambda a: resize_planar(a, 640, 832)), x, iters=it,
+           name="resize_half")
+
+    nv = jax.device_put(rng.integers(0, 255, (6, 1620, 1920)).astype(np.uint8))
+    _sync(nv)
+    timeit(jax.jit(prep_source_nv12), nv, iters=it, name="nv12_to_planar")
+
+    def step(f):
+        return blend_j(warp_j(f, state), state)
+    timeit(step, fj, iters=it, name="full_step",
+           meta={"programs": 2})
+
+
+if __name__ == "__main__":
+    main()

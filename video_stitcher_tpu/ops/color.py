@@ -34,6 +34,28 @@ def nv12_to_bgr(nv12):
     return nv12_to_rgb(nv12)[..., ::-1]
 
 
+def nv12_to_rgb_planar(nv12, dtype=jnp.float32):
+    """nv12: u8 [H*3/2, W] -> planar RGB [3, H, W].
+
+    The production ingest path: capture boards stream NV12
+    (360_stitcher/defs.h:10-17), and the planar output feeds the warp
+    kernel directly — no channel-last intermediate, no [H, W, 3] ->
+    [3, H, W] transpose on device, and the host uploads 1.5 B/px instead
+    of 3 B/px.
+    """
+    rows, w = nv12.shape
+    h = rows * 2 // 3
+    y = nv12[:h].astype(jnp.float32)
+    uv = nv12[h:].reshape(h // 2, w // 2, 2).astype(jnp.float32)
+    u = jnp.repeat(jnp.repeat(uv[..., 0], 2, axis=0), 2, axis=1) - 128.0
+    v = jnp.repeat(jnp.repeat(uv[..., 1], 2, axis=0), 2, axis=1) - 128.0
+    ycc = 1.163999 * jnp.maximum(y - 16.0, 0.0)
+    r = ycc + 1.596027 * v
+    g = ycc - 0.812968 * v - 0.391762 * u
+    b = ycc + 2.017232 * u
+    return jnp.clip(jnp.stack([r, g, b], axis=0), 0.0, 255.0).astype(dtype)
+
+
 def rgb_to_gray(rgb):
     """[..., 3] RGB -> [...] gray, cv coefficients (R*0.299+G*0.587+B*0.114)."""
     rgb = rgb.astype(jnp.float32)

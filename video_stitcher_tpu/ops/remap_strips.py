@@ -196,6 +196,22 @@ def prep_source(frames_u8):
     return x
 
 
+def prep_source_nv12(nv12_u8):
+    """u8 NV12 [N, H*3/2, W] -> bf16 planar [N, 3, Hp, W].
+
+    Production ingest path: converts on device straight into the warp
+    kernel's planar layout (no channel-last intermediate) and uploads
+    half the bytes of RGB.
+    """
+    from video_stitcher_tpu.ops.color import nv12_to_rgb_planar
+    x = jax.vmap(lambda f: nv12_to_rgb_planar(f, jnp.bfloat16))(nv12_u8)
+    h = x.shape[2]
+    hp = _round_up(h, ROW_ALIGN)
+    if hp != h:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
+    return x
+
+
 def _kernel(strip_off, chunk_packed, src_hbm, map_ref,
             out_ref, strip, sem, *, sh, whc, ncc, channels, n_cam, n_rb):
     cam = pl.program_id(0)

@@ -37,9 +37,12 @@ def warp_bands(frames_u8, state: CalibState, geom: StitchGeometry,
     lay = geom.layout
     if warp_static is not None:
         from video_stitcher_tpu.ops.remap_strips import (
-            prep_source, remap_strips)
+            prep_source, prep_source_nv12, remap_strips)
         sh, whc = warp_static
-        src = prep_source(frames_u8)
+        if frames_u8.ndim == 3:          # NV12 [N, H*3/2, W] fast path
+            src = prep_source_nv12(frames_u8)
+        else:
+            src = prep_source(frames_u8)
         bands = remap_strips(src, state.fused_maps, state.warp_strip_off,
                              state.warp_chunk_packed, sh=sh, whc=whc)
         bands = bands[:, :, :lay.band_h, :lay.band_w]
@@ -185,6 +188,20 @@ class Stitcher:
         """frames u8 [N, H, W, 3] -> u8 pano. device=True returns the jax
         array without host transfer (for chained device-side consumers)."""
         pano = self._step(jnp.asarray(frames), self.state)
+        return pano if device else np.asarray(pano)
+
+    def stitch_nv12(self, nv12: np.ndarray, device: bool = False):
+        """Production ingest fast path: NV12 u8 [N, H*3/2, W] -> u8 pano.
+        Converts to planar RGB on-device (half the host->device bytes of
+        RGB, no layout transpose). Falls back through an RGB conversion on
+        the gather path."""
+        nv = jnp.asarray(nv12)
+        if self._warp_static is None:
+            from video_stitcher_tpu.ops.color import nv12_to_rgb
+            rgb = jax.vmap(nv12_to_rgb)(nv).astype(jnp.uint8)
+            pano = self._step(rgb, self.state)
+        else:
+            pano = self._step(nv, self.state)
         return pano if device else np.asarray(pano)
 
     def output(self, pano_u8):
