@@ -107,20 +107,23 @@ def build_weight_pyramids(weights0, layout: BandLayout):
     return tuple(norm), valid
 
 
-def blend_bands(bands, weight_pyr: Sequence, layout: BandLayout, valid=None):
+def blend_bands(bands, weight_pyr: Sequence, layout: BandLayout, valid=None,
+                precision: str = "highest"):
     """Per-frame multiband blend.
 
     bands:      f32 [N, C, bandH, bandW] (warped, gain-compensated)
     weight_pyr: normalized pyramids from build_weight_pyramids
+    precision:  pyramid matmul precision ("default" = fast bf16 MXU passes,
+                measured 54 dB vs "highest" end-to-end)
     Returns pano f32 [C, pano_h, pano_w].
     Replaces feed_online (blenders.cpp:700-749) + blend (blenders.cpp:758-831).
     """
     levels = layout.num_bands
-    lap = laplacian_pyramid(bands, levels)
+    lap = laplacian_pyramid(bands, levels, precision)
     acc = [place_bands(lap[l] * weight_pyr[l], layout, l) for l in range(levels + 1)]
     out = acc[-1]
     for l in range(levels - 1, -1, -1):
-        out = acc[l] + pyr_up(out, acc[l].shape[-2], acc[l].shape[-1])
+        out = acc[l] + pyr_up(out, acc[l].shape[-2], acc[l].shape[-1], precision)
     if valid is not None:
         out = out * valid[None]
     return out

@@ -52,6 +52,9 @@ class StitchGeometry:
     focal_work: float          # CPW local term uses f at work scale (meshwarper.cpp:599)
     num_bands: int
     blend_type: str
+    #: pyramid matmul precision for the per-frame blend ("highest" |
+    #: "default"); from cfg.blend_dtype
+    blend_precision: str
     wrap: bool
 
     @property
@@ -86,6 +89,8 @@ def plan_geometry(cfg: StitcherConfig) -> Tuple[StitchGeometry, List[CameraParam
         compose_scale=cw / cfg.input_width,
         work_scale=cfg.work_scale, focal_work=cams_work[0].focal,
         num_bands=layout.num_bands, blend_type=cfg.blend_type,
+        blend_precision=("default" if cfg.blend_dtype == "bfloat16"
+                         else "highest"),
         wrap=cfg.wrap_around)
     return geom, cams_compose
 

@@ -101,8 +101,10 @@ class StitcherConfig:
     offsets: Tuple[int, ...] = ()
 
     # --- TPU-specific knobs (no reference equivalent) ---
-    #: dtype for the blend pyramids: "float32" or "bfloat16".
-    blend_dtype: str = "float32"
+    #: Blend pyramid math: "bfloat16" = fast MXU passes (default; measured
+    #: 54 dB against the exact blend — far inside the reference's own
+    #: +-3/255 tolerance, test_blenders.cuda.cpp:95), "float32" = exact.
+    blend_dtype: str = "bfloat16"
     #: Fuse compose-resize + global warp + mesh warp into one backward map
     #: (the TPU-native fast path). Disable for bit-closer reference parity.
     fuse_maps: bool = True

@@ -25,18 +25,11 @@ import jax.numpy as jnp
 # [1, 4, 6, 4, 1] / 16
 _K = (0.0625, 0.25, 0.375, 0.25, 0.0625)
 
-#: Matmul precision for the pyramid ops. "highest" is bit-faithful to the
-#: cv gold tests (default); "default" uses the MXU's fast bf16 passes
-#: (~2x faster, error up to ~3/255 after a full blend — exactly the
-#: reference's own CUDA-vs-CPU tolerance). Set via set_precision().
-_PRECISION = "highest"
-
-
-def set_precision(precision: str) -> None:
-    """"highest" (exact) or "default" (fast bf16-grade matmuls)."""
-    global _PRECISION
-    assert precision in ("highest", "default")
-    _PRECISION = precision
+#: "highest" is bit-faithful to the cv gold tests; "default" uses the
+#: MXU's fast bf16 passes (~2x faster; measured 54 dB vs the exact blend
+#: end-to-end — far inside the reference's own +-3/255 CUDA-vs-CPU
+#: tolerance). Threaded through as an argument so callers (the blender via
+#: StitchGeometry.blend_precision) choose without global state.
 
 
 def _reflect101(i: np.ndarray, n: int) -> np.ndarray:
@@ -104,7 +97,7 @@ def _conv5(x, axis: int):
     return (_K[0] * (sl(0) + sl(4)) + _K[1] * (sl(1) + sl(3)) + _K[2] * sl(2))
 
 
-def pyr_down(x):
+def pyr_down(x, precision: str = "highest"):
     """[..., H, W] -> [..., ceil(H/2), ceil(W/2)]: blur then even-phase
     decimate, as two banded matmuls (MXU)."""
     x = x.astype(jnp.float32)
@@ -112,12 +105,12 @@ def pyr_down(x):
     dw = jnp.asarray(_down_matrix(w))                        # [w2, w]
     dh = jnp.asarray(_down_matrix(h))                        # [h2, h]
     y = jnp.einsum("...hw,ow->...ho", x, dw,
-                   preferred_element_type=jnp.float32, precision=_PRECISION)
+                   preferred_element_type=jnp.float32, precision=precision)
     return jnp.einsum("...hw,oh->...ow", y, dh,
-                      preferred_element_type=jnp.float32, precision=_PRECISION)
+                      preferred_element_type=jnp.float32, precision=precision)
 
 
-def pyr_up(x, out_h=None, out_w=None):
+def pyr_up(x, out_h=None, out_w=None, precision: str = "highest"):
     """[..., h, w] -> [..., out_h, out_w]: zero-stuff then blur with 4x
     kernel (cv::pyrUp), as two banded matmuls (MXU)."""
     h, w = x.shape[-2], x.shape[-1]
@@ -127,30 +120,31 @@ def pyr_up(x, out_h=None, out_w=None):
     uw = jnp.asarray(_up_matrix(w, out_w))                   # [Wo, w]
     uh = jnp.asarray(_up_matrix(h, out_h))                   # [Ho, h]
     y = jnp.einsum("...hw,ow->...ho", x, uw,
-                   preferred_element_type=jnp.float32, precision=_PRECISION)
+                   preferred_element_type=jnp.float32, precision=precision)
     return jnp.einsum("...hw,oh->...ow", y, uh,
-                      preferred_element_type=jnp.float32, precision=_PRECISION)
+                      preferred_element_type=jnp.float32, precision=precision)
 
 
-def gaussian_pyramid(x, levels: int):
+def gaussian_pyramid(x, levels: int, precision: str = "highest"):
     """Returns [x, down(x), ..., down^levels(x)] (levels+1 entries)."""
     pyr = [x.astype(jnp.float32)]
     for _ in range(levels):
-        pyr.append(pyr_down(pyr[-1]))
+        pyr.append(pyr_down(pyr[-1], precision))
     return pyr
 
 
-def laplacian_pyramid(x, levels: int):
+def laplacian_pyramid(x, levels: int, precision: str = "highest"):
     """Laplacian pyramid with `levels` band-pass levels + 1 residual.
 
     lap[i] = gauss[i] - pyrUp(gauss[i+1]); lap[levels] = gauss[levels],
     mirroring blenders.cpp:713-719.
     """
-    gauss = gaussian_pyramid(x, levels)
+    gauss = gaussian_pyramid(x, levels, precision)
     lap = []
     for i in range(levels):
         lap.append(gauss[i] - pyr_up(gauss[i + 1],
-                                     gauss[i].shape[-2], gauss[i].shape[-1]))
+                                     gauss[i].shape[-2], gauss[i].shape[-1],
+                                     precision))
     lap.append(gauss[levels])
     return lap
 

@@ -86,7 +86,7 @@ def build_sharded_step(geom: StitchGeometry, mesh: Mesh, axis: str = "cam",
         x = jnp.moveaxis(frames, -1, 1).astype(jnp.float32)
         bands = jax.vmap(lambda im, m: remap_planar(im, m[0], m[1]))(x, fused)
         bands = jnp.clip(bands * gains[:, None, None, None], 0.0, 255.0)
-        lap = laplacian_pyramid(bands, levels)
+        lap = laplacian_pyramid(bands, levels, geom.blend_precision)
         acc = []
         for l in range(levels + 1):
             f = 1 << l
@@ -100,7 +100,8 @@ def build_sharded_step(geom: StitchGeometry, mesh: Mesh, axis: str = "cam",
             acc.append(jax.lax.psum(pano_l, axis))
         out = acc[-1]
         for l in range(levels - 1, -1, -1):
-            out = acc[l] + pyr_up(out, acc[l].shape[-2], acc[l].shape[-1])
+            out = acc[l] + pyr_up(out, acc[l].shape[-2], acc[l].shape[-1],
+                                  geom.blend_precision)
         out = out * valid[None]
         out = jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
         return jnp.moveaxis(out, 0, -1)

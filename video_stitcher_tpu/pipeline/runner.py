@@ -82,7 +82,8 @@ class Runner:
         if not (cfg.recalibrate and cfg.enable_local):
             return
         while not self._stop.is_set():
-            time.sleep(cfg.recalib_del_ms / 1000.0)
+            if self._stop.wait(cfg.recalib_del_ms / 1000.0):
+                break
             with self._latest_lock:
                 frames = self._latest_frames
             if frames is None:
@@ -178,6 +179,10 @@ class Runner:
             self._stop.set()
             self.results.close()
             consumer.join(timeout=10)
+            # the recalib thread may be mid-solve; give it a moment so the
+            # interpreter doesn't tear down under its feet (a C++ exception
+            # in a dying daemon thread prints "terminate called" at exit)
+            recalib.join(timeout=5)
             source.release()
             if self.sink is not None:
                 self.sink.release()

@@ -66,7 +66,7 @@ def blend_pack(bands, state: CalibState, geom: StitchGeometry):
                              state.valid_mask)
     else:
         pano = blend_bands(bands, state.weight_pyr, geom.layout,
-                           state.valid_mask)
+                           state.valid_mask, geom.blend_precision)
     pano = jnp.clip(jnp.round(pano), 0.0, 255.0).astype(jnp.uint8)
     return jnp.moveaxis(pano, 0, -1)
 
@@ -93,11 +93,6 @@ class Stitcher:
 
     def __init__(self, cfg: StitcherConfig):
         self.cfg = cfg
-        if cfg.blend_dtype == "bfloat16":
-            # fast MXU passes for the blend pyramids; error bounded by the
-            # reference's own +-3/255 CUDA-vs-CPU tolerance
-            from video_stitcher_tpu.ops import pyramid
-            pyramid.set_precision("default")
         self.geom: Optional[StitchGeometry] = None
         self.state: Optional[CalibState] = None
         self._step = None
