@@ -24,7 +24,18 @@ def _sync(x):
     return np.asarray(x.ravel()[:4])
 
 
+def _enable_compile_cache():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/video_stitcher_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
     from video_stitcher_tpu.config import StitcherConfig

@@ -39,7 +39,18 @@ def timeit(fn, *args, iters=8, name="", meta=None):
     return ms
 
 
+def _enable_compile_cache():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/video_stitcher_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
+    _enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args(argv)

@@ -132,6 +132,9 @@ class Runner:
                 first = False
             if self.sink is not None:
                 self.sink.write(out)
+            if cfg.show_out:
+                from video_stitcher_tpu.utils import viz
+                viz.show(out, title="pano", wait_ms=1)   # timed.cpp:365-369
             if self.egress is not None or cfg.send_results:
                 if self.egress is None:
                     from video_stitcher_tpu.io_plane.egress import PlayerEgress
@@ -190,7 +193,20 @@ class Runner:
                 self.egress.close()
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: calibration compiles the feature
+    pipeline (~3 min on TPU); cached across runs."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/video_stitcher_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
+    _enable_compile_cache()
     cfg = StitcherConfig.from_args(argv)
     Runner(cfg).run()
 
