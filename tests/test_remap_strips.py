@@ -5,7 +5,8 @@ import jax.numpy as jnp
 
 from video_stitcher_tpu.ops.remap import remap_planar
 from video_stitcher_tpu.ops.remap_strips import (
-    pad_maps, plan_strips, prep_source, remap_strips, ROW_BLOCK, CHUNK_W,
+    pad_maps, plan_strips, prep_source, remap_strips, repack_maps_lane,
+    ROW_BLOCK, CHUNK_W,
 )
 
 
@@ -13,7 +14,7 @@ def _run(maps_np, frames_u8, src_h, src_w):
     mp = pad_maps(maps_np)
     plan = plan_strips(mp, src_h, src_w)
     src = prep_source(jnp.asarray(frames_u8))
-    out = remap_strips(src, jnp.asarray(mp),
+    out = remap_strips(src, repack_maps_lane(jnp.asarray(mp)),
                        jnp.asarray(plan.strip_off),
                        jnp.asarray(plan.chunk_packed),
                        sh=plan.sh, whc=plan.whc,
@@ -35,11 +36,11 @@ def test_remap_strips_matches_gather(rng):
         img = np.moveaxis(frames[n], -1, 0).astype(np.float32)
         gold = np.asarray(remap_planar(img, mp[n, 0], mp[n, 1],
                                        border="constant"))
-        # both interpolation stages fold bilinear weights into bf16
-        # matrices: <=2^-9 relative weight rounding each -> <=~1/255
-        # output error, well inside the reference's own +-3 blend
-        # tolerance (test_blenders.cuda.cpp:95)
-        np.testing.assert_allclose(out[n], gold, atol=1.3)
+        # the x tent weights, the re-tile LHS and the selection matrix
+        # round to bf16: <=2^-9 relative each -> <=~2/255 output error,
+        # inside the reference's own +-3 blend tolerance
+        # (test_blenders.cuda.cpp:95)
+        np.testing.assert_allclose(out[n], gold, atol=2.0)
 
 
 def test_remap_strips_invalid_regions(rng):

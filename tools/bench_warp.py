@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Micro-benchmark of the strip-warp kernel (the hot op) on the real rig
+maps. Times remap_strips alone, plus optional experimental variants, so
+kernel changes can be A/B'd without the rest of the pipeline.
+
+Run: python tools/bench_warp.py [--iters 20]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def _sync(x):
+    return np.asarray(x.ravel()[:4])
+
+
+def _enable_compile_cache():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/video_stitcher_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def main(argv=None):
+    _enable_compile_cache()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from video_stitcher_tpu.config import StitcherConfig
+    from video_stitcher_tpu import Stitcher
+    from video_stitcher_tpu.ops import remap_strips as rs
+
+    print("device:", jax.devices()[0])
+    cfg = StitcherConfig(num_images=6, input_width=1920, input_height=1080,
+                         enable_local=False, recalibrate=False)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (6, 1080, 1920, 3)).astype(np.uint8)
+    st = Stitcher(cfg)
+    st.calibrate(frames)
+    sh, whc = st._warp_static
+    state = st.state
+    maps = state.fused_maps
+    n, _, bh, bw = maps.shape
+    print(f"bands: [{n}, 3, {bh}, {bw}]  sh={sh} whc={whc} "
+          f"nrb={bh // rs.ROW_BLOCK} ncc={bw // rs.CHUNK_W}")
+    chunks = n * (bh // rs.ROW_BLOCK) * (bw // rs.CHUNK_W)
+    flops = chunks * (rs.ROW_BLOCK * rs.CHUNK_W) * rs.SLAB_W * 3 * whc * 2
+    print(f"chunks/frame: {chunks}   x-stage matmul TFLOP/frame: "
+          f"{flops / 1e12:.3f}")
+
+    src = rs.prep_source(jnp.asarray(frames))
+    _sync(src)
+    maps_lane = state.warp_maps_lane
+
+    def timeit(fn, *a, name=""):
+        out = fn(*a)
+        _sync(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(*a)
+        _sync(out)
+        ms = (time.perf_counter() - t0) / args.iters * 1e3
+        print(f"{name:32s} {ms:8.2f} ms")
+        return ms
+
+    timeit(lambda s: rs.remap_strips(
+        s, maps_lane, state.warp_strip_off, state.warp_chunk_packed,
+        sh=sh, whc=whc), src, name="remap_strips (production)")
+
+
+if __name__ == "__main__":
+    main()

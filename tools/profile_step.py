@@ -46,8 +46,9 @@ def main():
                    name="H2D upload 6x1080p u8")
     fj = jnp.asarray(frames)
 
-    warp_j = jax.jit(lambda f, s: warp_bands(f, s, geom))
-    bands = timeit(warp_j, fj, state, name="warp_bands (fused remap)")
+    warp_j = jax.jit(lambda f, s: warp_bands(f, s, geom,
+                                             warp_static=st._warp_static))
+    bands = timeit(warp_j, fj, state, name="warp_bands (strip kernel)")
 
     blend_j = jax.jit(lambda b, s: blend_bands(b, s.weight_pyr, geom.layout,
                                                s.valid_mask))

@@ -32,6 +32,9 @@ class CalibState(NamedTuple):
     warp_strip_off: jnp.ndarray | None = None
     #: i32 [N, nrb, ncc] — packed per-chunk window offsets (None = gather).
     warp_chunk_packed: jnp.ndarray | None = None
+    #: f32 [N, nrb, 2, ncc*256] — chunk-lane-major repack of fused_maps for
+    #: the Pallas warp (ops/remap_strips.repack_maps_lane; None = gather).
+    warp_maps_lane: jnp.ndarray | None = None
 
 
 def save_state(path: str, state: CalibState, extra: dict | None = None) -> None:
@@ -46,6 +49,8 @@ def save_state(path: str, state: CalibState, extra: dict | None = None) -> None:
     if state.warp_strip_off is not None:
         data["warp_strip_off"] = np.asarray(state.warp_strip_off)
         data["warp_chunk_packed"] = np.asarray(state.warp_chunk_packed)
+    if state.warp_maps_lane is not None:
+        data["warp_maps_lane"] = np.asarray(state.warp_maps_lane)
     if extra:
         for k, v in extra.items():
             data["extra_" + k] = v
@@ -64,4 +69,6 @@ def load_state(path: str) -> CalibState:
                         if "warp_strip_off" in z else None),
         warp_chunk_packed=(jnp.asarray(z["warp_chunk_packed"])
                            if "warp_chunk_packed" in z else None),
+        warp_maps_lane=(jnp.asarray(z["warp_maps_lane"])
+                        if "warp_maps_lane" in z else None),
     )

@@ -1,10 +1,10 @@
-"""Production Pallas TPU remap: strip-DMA + chunked one-hot MXU gathers.
+"""Production Pallas TPU remap: strip-DMA + chunked tent-weight MXU gathers.
 
 The hot op of the whole framework (replaces cv::cuda::remap at
 360_stitcher/timed.cpp:84,90; kernel cv/cudawarping/src/cuda/remap.cu).
 XLA lowers an irregular 2-D gather on TPU to per-element loads — measured
 ~4.2 s for the 6-camera warp — so this kernel restructures the resample
-around what the hardware does well: big DMAs, lane rotates, and matmuls.
+around what the hardware does well: big DMAs and matmuls.
 
 Structure (all offsets precomputed at (re)calibration time, when the maps
 change — the maps are FIXED between mesh re-solves):
@@ -12,28 +12,44 @@ change — the maps are FIXED between mesh re-solves):
  1. The band output is processed in row-blocks of 8 rows. For each
     (camera, row-block) one DMA copies the source *strip* containing every
     tap of that row-block (strip height is data-dependent but bounded;
-    static cap SH) from HBM to VMEM.
+    static cap SH) from HBM to VMEM, double-buffered across grid steps.
  2. Each row-block is split into chunks of 32 output columns. Within a
-    chunk the source taps fall in a window of <= WHC rows (measured ~64
-    for the 6-cam 1080p rig). Mosaic only allows dynamic *lane* indexing
-    at multiples of 128, so the kernel reads a 256-lane slab at the
-    128-aligned floor of the window start and folds the sub-slab offset
-    into the weight matrix instead of moving the data.
+    chunk the source taps fall in a window of <= WHC rows. Mosaic only
+    allows dynamic *lane* indexing at multiples of 128, so the kernel
+    reads a 256-lane slab at the 128-aligned floor of the window start
+    and folds the sub-slab offset into the weight matrix instead of
+    moving the data.
  3. Bilinear separates into per-axis tent kernels w(k) = relu(1-|k-l|).
-    The X stage materializes the tent weights as a [256 out-px, 256 lane]
-    bf16 matrix and contracts it against the slab on the MXU (channels
-    stacked along slab rows, f32 accumulation); the Y stage applies the
-    whc-wide tent mix on the VPU. Fully-invalid chunks are skipped via a
-    sign flag in the packed offsets; strips are double-buffered across
-    grid steps. ~0.4 TF(bf16)/frame of matmul vs the 3.3 TF a
-    whole-window one-hot formulation would need.
+    Per chunk, the X stage is ONE matmul `dot(slab, wx)` with the slab
+    as LHS [3*whc, 256] (channels stacked along sublanes) contracting its
+    lane (x) axis — the natural MXU orientation; orienting the weights as
+    the LHS instead makes Mosaic transpose the slab per chunk (measured
+    +13 ms/frame). The tent weights wx are generated directly in MXU-RHS
+    layout [K sublanes, out-px lanes] from per-chunk map coords that
+    arrive as [1, 256] lane vectors via a chunk-lane-major repack of the
+    maps (`repack_maps_lane`, once per (re)calibration) — no
+    sublane<->lane relayouts in the hot loop.
+ 4. The Y stage multiplies t2 [3*whc, 256] by tent y-weights and
+    tree-reduces over sublanes -> per-channel [1, 256] out-px rows.
+ 5. The [1, 256] chunk rows are re-tiled to [8, 32] output tiles by one
+    batched selection matmul per 128-lane group: rows for all 4 chunks x
+    3 channels are masked into an f32 [24, 4*256] LHS and contracted
+    with a constant 0/1 bf16 selection matrix (f32 MXU passes measured
+    2.5x slower; per-chunk [8,256]x[256,32] dots and VPU relayouts both
+    measured slower still). Fully-invalid chunks are skipped via a sign
+    flag in the packed offsets.
+
+End-to-end: 32.2 -> 10.8 ms/frame for the 6-cam 1080p rig vs the v1
+weights-as-LHS formulation, ~400x vs the XLA gather lowering.
 
 Out-of-source taps (beyond the source or at the reference's -1 "invalid"
 marker, build_warp_maps.cu:103-106) fall outside every tent support and
 contribute exactly 0; coords within 1 px of the border keep their exact
 partial-tap weight — BORDER_CONSTANT semantics, matching
-ops.remap.remap_planar(border="constant"), verified to 0.5/255
-(bf16 weight rounding) against it on the real rig maps.
+ops.remap.remap_planar(border="constant"). Accuracy vs that f32 gather
+reference: the bf16 weight/selection roundings bound the error at ~1/255
+on the real rig maps (the reference's own CUDA-vs-CPU blend bound is
+3/255, test_blenders.cuda.cpp:95).
 """
 
 from __future__ import annotations
@@ -50,6 +66,7 @@ from jax.experimental.pallas import tpu as pltpu
 ROW_BLOCK = 8          # output rows per strip DMA
 CHUNK_W = 32           # output columns per compute chunk
 GROUP = 128 // CHUNK_W  # chunks per 128-lane map/store group
+PX = ROW_BLOCK * CHUNK_W  # out px per chunk (one [1, 256] lane row)
 SLAB_W = 256           # lane width of the rotated source slab
 WIN_W = 128            # lane width of the in-register window
 ROW_ALIGN = 16         # window row starts aligned to the bf16 sublane tile
@@ -212,6 +229,24 @@ def prep_source_nv12(nv12_u8):
     return x
 
 
+@jax.jit
+def repack_maps_lane(maps):
+    """[N, 2, bh_p, bw_p] -> chunk-lane-major f32 [N, nrb, 2, ncc*256].
+
+    Element [n, rb, a, k*256 + r*CHUNK_W + c] = maps[n, a, rb*8+r, k*32+c]:
+    each chunk's 8x32 map tile becomes one contiguous 256-lane vector, so
+    the kernel reads per-chunk coords with a plain lane slice (a
+    sublane->lane relayout per chunk otherwise dominates the VPU). Runs
+    once per (re)calibration, on device.
+    """
+    n, two, bh, bw = maps.shape
+    nrb = bh // ROW_BLOCK
+    ncc = bw // CHUNK_W
+    x = maps.reshape(n, two, nrb, ROW_BLOCK, ncc, CHUNK_W)
+    x = x.transpose(0, 2, 1, 4, 3, 5)          # [n, nrb, 2, ncc, 8, 32]
+    return x.reshape(n, nrb, two, ncc * PX)
+
+
 def _kernel(strip_off, chunk_packed, src_hbm, map_ref,
             out_ref, strip, sem, *, sh, whc, ncc, channels, n_cam, n_rb):
     cam = pl.program_id(0)
@@ -240,97 +275,102 @@ def _kernel(strip_off, chunk_packed, src_hbm, map_ref,
     strip_dma(cam, rb, slot).wait()
     s0 = pl.multiple_of(strip_off[cam, rb], 8)
 
+    # loop-invariant constants (hoisted by Mosaic):
+    # tap-index iotas along sublanes, in the weights' MXU-RHS layout
+    kx = jax.lax.broadcasted_iota(jnp.int32, (SLAB_W, PX), 0)
+    kx = kx.astype(jnp.float32)
+    ky = jax.lax.broadcasted_iota(jnp.int32, (whc, PX), 0).astype(jnp.float32)
+    # re-tile mask [ch*8, 256]: row (c, r) keeps lanes with q//CHUNK_W == r
+    qi = jax.lax.broadcasted_iota(jnp.int32, (channels * ROW_BLOCK, PX), 1)
+    ri = jax.lax.broadcasted_iota(
+        jnp.int32, (channels * ROW_BLOCK, PX), 0) % ROW_BLOCK
+    m1 = (qi // CHUNK_W == ri).astype(jnp.float32)
+    # re-tile selection [GROUP*256, 128]: (j, q) -> out col 32*j + q%32
+    qq = jax.lax.broadcasted_iota(jnp.int32, (GROUP * PX, 128), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (GROUP * PX, 128), 1)
+    b2 = ((qq // PX) * CHUNK_W + (qq % CHUNK_W) == cc).astype(jnp.bfloat16)
+
+    def chunk_rows(k, v):
+        """One chunk -> per-channel out-px rows, stacked [channels, 256]."""
+        r0 = (v & 0xFF) * ROW_ALIGN
+        c128 = ((v >> 8) & 0xFF) * 128
+        # chunk map coords as [1, 256] lane vectors — no relayout
+        lx = map_ref[0, 0, 0, pl.ds(k * PX, PX)][None, :]
+        ly = map_ref[0, 0, 1, pl.ds(k * PX, PX)][None, :]
+        lx = lx - c128.astype(jnp.float32)
+        ly = ly - (s0 + r0).astype(jnp.float32)
+
+        # Bilinear weights ARE the tent function relu(1 - |k - l|):
+        # out-of-source taps get weight 0 with exactly the gather path's
+        # partial-tap semantics. Generated straight in [K sub, M lanes].
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(kx - lx)).astype(jnp.bfloat16)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ky - ly))      # [whc, 256] f32
+
+        slab = jnp.concatenate(
+            [strip[slot, c, pl.ds(r0, whc), pl.ds(c128, SLAB_W)]
+             for c in range(channels)], axis=0)        # [C*whc, SLAB_W]
+
+        # x-stage: slab LHS contracts its lane (x) axis — natural MXU
+        # orientation, no operand transposes
+        t2 = jax.lax.dot_general(
+            slab, wx, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [C*whc, 256]
+
+        # y-stage: per-channel sublane-weighted tree reduction
+        vals = []
+        for c in range(channels):
+            m = t2[c * whc:(c + 1) * whc, :] * wy
+            vals.append(jnp.sum(m, axis=0, keepdims=True))   # [1, 256]
+        return jnp.concatenate(vals, axis=0)               # [channels, 256]
+
     def group(g, _):
         ckg = pl.multiple_of(g * 128, 128)
-        mxs = map_ref[0, 0, :, pl.ds(ckg, 128)]      # [8, 128] f32
-        mys = map_ref[0, 1, :, pl.ds(ckg, 128)]
-        outs = [[] for _ in range(channels)]
+        ls = []
         for j in range(GROUP):
             k = g * GROUP + j
             v = chunk_packed[cam, rb, k]
-
-            def compute(_):
-                # decode keeps alignment provable: *ROW_ALIGN / *128
-                r0 = (v & 0xFF) * ROW_ALIGN
-                c128 = ((v >> 8) & 0xFF) * 128
-                mxj = mxs[:, j * CHUNK_W:(j + 1) * CHUNK_W]   # [8, 32]
-                myj = mys[:, j * CHUNK_W:(j + 1) * CHUNK_W]
-                # x coords relative to the 256-lane slab origin: the
-                # bilinear one-hot matrix absorbs the sub-slab offset, so
-                # no lane rotate of the source data is needed at all
-                lx = mxj - c128.astype(jnp.float32)
-                ly = myj - (s0 + r0).astype(jnp.float32)
-                # Bilinear weights ARE the tent function relu(1 - |k - l|):
-                # one subtract/abs/relu chain replaces two one-hot compare+
-                # select+mix chains, and out-of-source taps get weight 0
-                # with exactly the gather path's partial-tap semantics.
-
-                # X-stage as ONE matmul: tent x-weights as a [256, 256]
-                # bf16 matrix, contracted against the slab with channels
-                # stacked along slab *rows* -> [256, C*whc]
-                kx = jax.lax.broadcasted_iota(
-                    jnp.int32, (ROW_BLOCK, CHUNK_W, SLAB_W), 2
-                ).astype(jnp.float32)
-                wxm = jnp.maximum(0.0, 1.0 - jnp.abs(kx - lx[:, :, None]))
-                wxm = wxm.astype(jnp.bfloat16).reshape(
-                    ROW_BLOCK * CHUNK_W, SLAB_W)
-
-                slab = jnp.concatenate(
-                    [strip[slot, c, pl.ds(r0, whc), pl.ds(c128, SLAB_W)]
-                     for c in range(channels)], axis=0)      # [C*whc, 256]
-
-                t1 = jax.lax.dot_general(
-                    wxm, slab, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)      # [256, C*whc]
-
-                # Y-stage on the VPU: tent y-weights + two-tap mix over whc
-                # lanes per channel
-                ky = jax.lax.broadcasted_iota(
-                    jnp.int32, (ROW_BLOCK, CHUNK_W, whc), 2
-                ).astype(jnp.float32)
-                wym = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(ky - ly[:, :, None])
-                ).reshape(ROW_BLOCK * CHUNK_W, whc)
-                vals = []
-                for c in range(channels):
-                    tc = t1[:, c * whc:(c + 1) * whc]
-                    val = jnp.sum(tc * wym, axis=1)          # [256]
-                    vals.append(val.reshape(ROW_BLOCK, CHUNK_W))
-                return tuple(vals)
-
-            def empty(_):
-                return tuple(jnp.zeros((ROW_BLOCK, CHUNK_W), jnp.float32)
-                             for _ in range(channels))
-
-            vals = jax.lax.cond(v >= 0, compute, empty, 0)
-            for c in range(channels):
-                outs[c].append(vals[c])
+            val = jax.lax.cond(
+                v >= 0, lambda _: chunk_rows(k, v),
+                lambda _: jnp.zeros((channels, PX), jnp.float32), 0)
+            # [ch, 256] -> masked [ch*8, 256] re-tile LHS rows
+            ls.append(jnp.broadcast_to(
+                val[:, None, :], (channels, ROW_BLOCK, PX)
+            ).reshape(channels * ROW_BLOCK, PX) * m1)
+        lbig = jnp.concatenate(ls, axis=1)       # [ch*8, GROUP*256]
+        # one selection matmul re-tiles the whole group's rows to [8, 128]
+        # tiles (bf16: f32 MXU passes measured 2.5x slower; +-0.5/255)
+        o = jax.lax.dot_general(
+            lbig.astype(jnp.bfloat16), b2,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [ch*8, 128]
         for c in range(channels):
-            out_ref[0, c, :, pl.ds(ckg, 128)] = jnp.concatenate(
-                outs[c], axis=1)
+            out_ref[0, c, :, pl.ds(ckg, 128)] = \
+                o[c * ROW_BLOCK:(c + 1) * ROW_BLOCK, :]
         return 0
 
     jax.lax.fori_loop(0, ncc // GROUP, group, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("sh", "whc", "interpret"))
-def remap_strips(src_planar, maps, strip_off, chunk_packed, *,
+def remap_strips(src_planar, maps_lane, strip_off, chunk_packed, *,
                  sh: int, whc: int, interpret: bool = False):
-    """src_planar: bf16 [N, C, Hp, Wp] (prep_source), maps f32 [N, 2, bh_p,
-    bw_p] (pad_maps), offsets from plan_strips. Returns f32 [N, C, bh_p, bw_p].
+    """src_planar: bf16 [N, C, Hp, Wp] (prep_source); maps_lane: f32
+    [N, nrb, 2, ncc*256] (repack_maps_lane of pad_maps output); offsets
+    from plan_strips. Returns f32 [N, C, bh_p, bw_p].
     """
     n, ch, hp, wp = src_planar.shape
-    _, _, bh, bw = maps.shape
-    nrb = bh // ROW_BLOCK
-    ncc = bw // CHUNK_W
+    _, nrb, _, nl = maps_lane.shape
+    ncc = nl // PX
+    bh = nrb * ROW_BLOCK
+    bw = ncc * CHUNK_W
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n, nrb),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),               # src stays HBM
-            pl.BlockSpec((1, 2, ROW_BLOCK, bw),
-                         lambda c, r, *_: (c, 0, r, 0),
+            pl.BlockSpec((1, 1, 2, nl),
+                         lambda c, r, *_: (c, r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, ch, ROW_BLOCK, bw),
@@ -351,4 +391,4 @@ def remap_strips(src_planar, maps, strip_off, chunk_packed, *,
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )
-    return fn(strip_off, chunk_packed, src_planar, maps)
+    return fn(strip_off, chunk_packed, src_planar, maps_lane)

@@ -43,7 +43,7 @@ def warp_bands(frames_u8, state: CalibState, geom: StitchGeometry,
             src = prep_source_nv12(frames_u8)
         else:
             src = prep_source(frames_u8)
-        bands = remap_strips(src, state.fused_maps, state.warp_strip_off,
+        bands = remap_strips(src, state.warp_maps_lane, state.warp_strip_off,
                              state.warp_chunk_packed, sh=sh, whc=whc)
         bands = bands[:, :, :lay.band_h, :lay.band_w]
     else:
@@ -154,17 +154,20 @@ class Stitcher:
         state; chooses the Pallas vs gather path."""
         if not self._use_strip_warp():
             return state
-        from video_stitcher_tpu.ops.remap_strips import pad_maps, plan_strips
+        from video_stitcher_tpu.ops.remap_strips import (
+            pad_maps, plan_strips, repack_maps_lane)
         mp = pad_maps(np.asarray(state.fused_maps))
         prev = self._warp_static or (0, 0)
         # min sizes keep the jitted shapes stable across mesh recalibrations
         plan = plan_strips(mp, self.cfg.input_height, self.cfg.input_width,
                            min_sh=prev[0], min_whc=prev[1])
         self._warp_static = (plan.sh, plan.whc)
+        mpj = jnp.asarray(mp)
         return state._replace(
-            fused_maps=jnp.asarray(mp),
+            fused_maps=mpj,
             warp_strip_off=jnp.asarray(plan.strip_off),
-            warp_chunk_packed=jnp.asarray(plan.chunk_packed))
+            warp_chunk_packed=jnp.asarray(plan.chunk_packed),
+            warp_maps_lane=repack_maps_lane(mpj))
 
     def save_calibration(self, path: str) -> None:
         save_state(path, self.state)
