@@ -185,3 +185,63 @@ def test_output_frame_aspect(small_stitch):
     out = st.output(pano)
     assert out.shape[1] == cfg.output_width
     assert out.shape[0] <= cfg.output_height
+
+
+def _prewarp_cfg():
+    # 640x360 at compose 0.04 MP -> compose_scale ~0.42 < 0.5: the strong-
+    # minification path (BASELINE config 4 shape: big inputs, small pano)
+    return StitcherConfig(num_images=6, input_width=640, input_height=360,
+                          compose_megapix=0.04, enable_local=False,
+                          recalibrate=False)
+
+
+def test_e2e_prewarp_minified():
+    """compose_scale < 0.5 takes the reference's resize->remap chain
+    (timed.cpp:75-90): fused maps stay in compose coordinates and the
+    source is pre-resized on device."""
+    cfg = _prewarp_cfg()
+    geom, _ = plan_geometry(cfg)
+    assert geom.prewarp and geom.warp_src_w == geom.compose_w
+    rng = np.random.default_rng(3)
+    scene = make_scene(geom.layout.pano_w, geom.layout.pano_h, rng)
+    frames = render_views(cfg, geom, scene)
+    st = Stitcher(cfg)
+    st.calibrate(frames)
+    pano = st.stitch(frames)
+    valid = np.asarray(st.state.valid_mask) > 0
+    h = geom.pano_h
+    gt = np.moveaxis(scene, 0, -1)
+    sel = valid[h // 4: 3 * h // 4]
+    val = psnr(pano[h // 4: 3 * h // 4][sel], gt[h // 4: 3 * h // 4][sel])
+    assert val > 30.0, f"prewarp PSNR {val:.1f} dB too low"
+
+
+def test_prewarp_strip_path_matches_gather(monkeypatch):
+    """The Pallas strip path (forced, interpret mode) must agree with the
+    XLA gather path under prewarp — covers _prep_strip_source and the
+    compose-coordinate strip plan."""
+    import functools
+    import video_stitcher_tpu.ops.remap_strips as rsmod
+
+    cfg = _prewarp_cfg()
+    geom, _ = plan_geometry(cfg)
+    rng = np.random.default_rng(5)
+    scene = make_scene(geom.layout.pano_w, geom.layout.pano_h, rng)
+    frames = render_views(cfg, geom, scene)
+
+    st_gather = Stitcher(cfg)
+    st_gather.calibrate(frames)
+    pano_gather = st_gather.stitch(frames)
+
+    orig = rsmod.remap_strips
+    monkeypatch.setattr(
+        rsmod, "remap_strips",
+        functools.partial(orig, interpret=True))
+    monkeypatch.setattr(Stitcher, "_use_strip_warp", lambda self: True)
+    st_strip = Stitcher(cfg)
+    st_strip.calibrate(frames)
+    assert st_strip._warp_static is not None
+    pano_strip = st_strip.stitch(frames)
+
+    diff = np.abs(pano_strip.astype(np.int32) - pano_gather.astype(np.int32))
+    assert diff.max() <= 3, f"strip vs gather max diff {diff.max()}"

@@ -65,6 +65,25 @@ class StitchGeometry:
     def pano_h(self) -> int:
         return self.layout.pano_h
 
+    @property
+    def prewarp(self) -> bool:
+        """True when the per-frame path resizes the source to compose scale
+        BEFORE warping (the reference's resize -> remap chain,
+        timed.cpp:75-90) and the fused maps live in compose coordinates.
+        Chosen only under strong minification, where sampling the full-res
+        source directly would both alias and overflow the strip kernel's
+        128-lane tap window; for mild scales the fused single-resample path
+        is sharper and faster."""
+        return self.compose_scale < 0.5
+
+    @property
+    def warp_src_w(self) -> int:
+        return self.compose_w if self.prewarp else self.src_w
+
+    @property
+    def warp_src_h(self) -> int:
+        return self.compose_h if self.prewarp else self.src_h
+
 
 def _compose_size(cfg: StitcherConfig) -> Tuple[int, int]:
     # timed.cpp:77 / calibration.cpp:161-165: resize only if |scale-1| > 0.1
@@ -269,6 +288,20 @@ def _compose_fused_maps_impl(geom, band_maps, mesh_maps=None):
             out[i] = sampled
         maps = out
     s = geom.compose_scale
-    if abs(s - 1.0) > 1e-1:                  # timed.cpp:75 resize condition
+    if geom.prewarp:
+        # strong minification: the per-frame path resizes the source to
+        # compose scale first (timed.cpp:75-77), so the maps stay in
+        # compose coordinates
+        pass
+    elif abs(s - 1.0) > 1e-1:                # timed.cpp:75 resize condition
         maps = (maps + 0.5) / s - 0.5
     return maps.astype(np.float32)
+
+
+def prewarp_source(x, geom: StitchGeometry):
+    """Resize planar f32 frames [..., H, W] to the warp-source (compose)
+    scale when the fused maps live in compose coordinates (the reference's
+    per-frame cuda::resize, timed.cpp:77). No-op otherwise."""
+    if not geom.prewarp:
+        return x
+    return resize_planar(x, geom.compose_h, geom.compose_w)

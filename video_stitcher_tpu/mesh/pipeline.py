@@ -48,15 +48,20 @@ def _detect_all(bands_gray, masks, max_kp=MAX_KEYPOINTS):
         g, m, max_keypoints=max_kp, num_levels=4))(bands_gray, masks)
 
 
-def _warp_bands_global(frames, global_fused_maps):
-    """Warp full-res frames through the *global-only* fused maps (the mesh
-    must be estimated on globally-warped images, meshwarper.cpp:64-73)."""
+def _warp_bands_global(frames, global_fused_maps, geom):
+    """Warp frames through the *global-only* fused maps (the mesh must be
+    estimated on globally-warped images, meshwarper.cpp:64-73). Under
+    geom.prewarp the frames are resized to compose scale first, matching
+    the maps' coordinates."""
+    from video_stitcher_tpu.calib.calibration import prewarp_source
     x = jnp.moveaxis(jnp.asarray(frames), -1, 1).astype(jnp.float32)
+    x = prewarp_source(x, geom)
     return jax.vmap(lambda im, m: remap_planar(im, m[0], m[1]))(
         x, jnp.asarray(global_fused_maps))
 
 
-_warp_bands_global_jit = jax.jit(_warp_bands_global)
+_warp_bands_global_jit = jax.jit(_warp_bands_global,
+                                 static_argnames=("geom",))
 
 
 class MeshPipeline:
@@ -94,7 +99,8 @@ class MeshPipeline:
         cfg = self.cfg
         c = geom.num_images
 
-        bands = _warp_bands_global_jit(frames, self.global_maps)  # [C,3,bh,bw]
+        bands = _warp_bands_global_jit(frames, self.global_maps,
+                                       geom)                 # [C,3,bh,bw]
         gray = (bands[:, 0] * 0.299 + bands[:, 1] * 0.587 + bands[:, 2] * 0.114)
         nonblack = (jnp.max(bands, axis=1) > 0).astype(jnp.float32)
         masks = self.overlap_masks * nonblack

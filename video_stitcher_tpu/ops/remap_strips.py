@@ -383,12 +383,18 @@ def remap_strips(src_planar, maps_lane, strip_off, chunk_packed, *,
     )
     kernel = functools.partial(_kernel, sh=sh, whc=whc, ncc=ncc, channels=ch,
                                n_cam=n, n_rb=nrb)
+    # the double-buffered strip scratch alone can exceed Mosaic's default
+    # 16 MB scoped-vmem limit at 4K+ sources (2*C*sh*W bf16); size the
+    # limit to the actual allocation plus headroom for blocks/registers
+    strip_bytes = 2 * ch * sh * wp * 2
+    vmem_limit = min(112 * 1024 * 1024, strip_bytes + 24 * 1024 * 1024)
     fn = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, ch, bh, bw), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )
     return fn(strip_off, chunk_packed, src_planar, maps_lane)

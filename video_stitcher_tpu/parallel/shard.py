@@ -83,7 +83,9 @@ def build_sharded_step(geom: StitchGeometry, mesh: Mesh, axis: str = "cam",
         # frames: [local_n, H, W, 3] on this device
         local_n = frames.shape[0]
         me = jax.lax.axis_index(axis)
+        from video_stitcher_tpu.calib.calibration import prewarp_source
         x = jnp.moveaxis(frames, -1, 1).astype(jnp.float32)
+        x = prewarp_source(x, geom)
         bands = jax.vmap(lambda im, m: remap_planar(im, m[0], m[1]))(x, fused)
         bands = jnp.clip(bands * gains[:, None, None, None], 0.0, 255.0)
         lap = laplacian_pyramid(bands, levels, geom.blend_precision)

@@ -26,6 +26,41 @@ from video_stitcher_tpu.ops.remap import remap_planar
 from video_stitcher_tpu.ops.resize import resize_planar
 
 
+def _prep_strip_source(frames_u8, geom: StitchGeometry):
+    """u8 RGB [N, H, W, 3] or NV12 [N, H*3/2, W] -> bf16 planar warp source
+    [N, 3, Hp, Wp] (rows padded to the sublane tile, lanes to 128).
+
+    Under geom.prewarp the source is resized to compose scale first (the
+    reference's per-frame cuda::resize, timed.cpp:77) so the strip kernel
+    samples at ~unit stride.
+    """
+    from video_stitcher_tpu.ops.remap_strips import (
+        ROW_ALIGN, prep_source, prep_source_nv12)
+
+    def _round_up(x, m):
+        return ((x + m - 1) // m) * m
+
+    if not geom.prewarp:
+        src = (prep_source_nv12(frames_u8) if frames_u8.ndim == 3
+               else prep_source(frames_u8))
+    else:
+        from video_stitcher_tpu.calib.calibration import prewarp_source
+        if frames_u8.ndim == 3:
+            from video_stitcher_tpu.ops.color import nv12_to_rgb_planar
+            x = jax.vmap(lambda f: nv12_to_rgb_planar(f, jnp.float32))(
+                frames_u8)
+        else:
+            x = jnp.moveaxis(frames_u8, -1, 1).astype(jnp.float32)
+        x = prewarp_source(x, geom)
+        hp = _round_up(x.shape[2], ROW_ALIGN)
+        src = jnp.pad(x, ((0, 0), (0, 0), (0, hp - x.shape[2]), (0, 0))
+                      ).astype(jnp.bfloat16)
+    wp = _round_up(src.shape[3], 128)
+    if wp != src.shape[3]:
+        src = jnp.pad(src, ((0, 0), (0, 0), (0, 0), (0, wp - src.shape[3])))
+    return src
+
+
 def warp_bands(frames_u8, state: CalibState, geom: StitchGeometry,
                warp_static=None):
     """u8 [N, H, W, 3] -> gain-compensated warped bands f32 [N, 3, bh, bw].
@@ -36,18 +71,16 @@ def warp_bands(frames_u8, state: CalibState, geom: StitchGeometry,
     """
     lay = geom.layout
     if warp_static is not None:
-        from video_stitcher_tpu.ops.remap_strips import (
-            prep_source, prep_source_nv12, remap_strips)
+        from video_stitcher_tpu.ops.remap_strips import remap_strips
         sh, whc = warp_static
-        if frames_u8.ndim == 3:          # NV12 [N, H*3/2, W] fast path
-            src = prep_source_nv12(frames_u8)
-        else:
-            src = prep_source(frames_u8)
+        src = _prep_strip_source(frames_u8, geom)
         bands = remap_strips(src, state.warp_maps_lane, state.warp_strip_off,
                              state.warp_chunk_packed, sh=sh, whc=whc)
         bands = bands[:, :, :lay.band_h, :lay.band_w]
     else:
+        from video_stitcher_tpu.calib.calibration import prewarp_source
         x = jnp.moveaxis(frames_u8, -1, 1).astype(jnp.float32)   # [N,3,H,W]
+        x = prewarp_source(x, geom)
 
         def one(img, m):
             return remap_planar(img, m[0], m[1], border="constant")
@@ -144,10 +177,12 @@ class Stitcher:
 
     def _use_strip_warp(self) -> bool:
         cfg = self.cfg
+        # the warp source is lane-padded to a 128 multiple by
+        # _prep_strip_source; it only needs to be at least one slab wide
         return (cfg.use_pallas_remap
                 and jax.default_backend() == "tpu"
-                and cfg.input_width % 128 == 0
-                and cfg.input_width >= 256)
+                and self.geom is not None
+                and self.geom.warp_src_w >= 256)
 
     def _plan_warp(self, state: CalibState) -> CalibState:
         """Attach the strip-warp plan (pad maps, window offsets) to the
@@ -158,8 +193,10 @@ class Stitcher:
             pad_maps, plan_strips, repack_maps_lane)
         mp = pad_maps(np.asarray(state.fused_maps))
         prev = self._warp_static or (0, 0)
+        geom = self.geom
+        warp_w = ((geom.warp_src_w + 127) // 128) * 128   # lane-padded
         # min sizes keep the jitted shapes stable across mesh recalibrations
-        plan = plan_strips(mp, self.cfg.input_height, self.cfg.input_width,
+        plan = plan_strips(mp, geom.warp_src_h, warp_w,
                            min_sh=prev[0], min_whc=prev[1])
         self._warp_static = (plan.sh, plan.whc)
         mpj = jnp.asarray(mp)
