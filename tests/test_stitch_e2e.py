@@ -187,6 +187,34 @@ def test_output_frame_aspect(small_stitch):
     assert out.shape[0] <= cfg.output_height
 
 
+def test_e2e_nonwrap_partial_ring():
+    """wrapAround=false (defs.h:23): a 3-camera partial ring stitches onto a
+    non-periodic panorama (layout union + u0 offset instead of static
+    wraparound slicing)."""
+    import math
+    cfg = StitcherConfig(num_images=3, wrap_around=False,
+                         input_width=320, input_height=180,
+                         yaws=(0.0, 2 * math.pi / 6, 4 * math.pi / 6),
+                         enable_local=False, recalibrate=False)
+    geom, _ = plan_geometry(cfg)
+    lay = geom.layout
+    assert not lay.wrap
+    rng = np.random.default_rng(11)
+    scene = make_scene(lay.pano_w, lay.pano_h, rng)
+    frames = render_views(cfg, geom, scene)     # samples u mod pano_w
+    st = Stitcher(cfg)
+    st.calibrate(frames)
+    pano = st.stitch(frames)
+    # pano col x sits at cylinder u = u0 + x; u0 is integer by construction
+    gt = np.moveaxis(np.roll(scene, -int(round(lay.u0)), axis=2), 0, -1)
+    valid = np.asarray(st.state.valid_mask) > 0
+    h = geom.pano_h
+    sel = valid[h // 4: 3 * h // 4]
+    assert sel.any()
+    val = psnr(pano[h // 4: 3 * h // 4][sel], gt[h // 4: 3 * h // 4][sel])
+    assert val > 30.0, f"non-wrap PSNR {val:.1f} dB too low"
+
+
 def _prewarp_cfg():
     # 640x360 at compose 0.04 MP -> compose_scale ~0.42 < 0.5: the strong-
     # minification path (BASELINE config 4 shape: big inputs, small pano)
