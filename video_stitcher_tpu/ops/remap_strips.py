@@ -177,6 +177,10 @@ def plan_strips(maps: np.ndarray, src_h: int, src_w: int,
     sh = min(_round_up(max(sh, whc, min_sh, ROW_ALIGN), ROW_ALIGN), src_hp)
 
     strip_off = np.minimum(rb_lo8, src_hp - sh).astype(np.int32)
+    # fully-empty row-blocks (the scalloped band top/bottom — ~30% of the
+    # grid on the real rig) are flagged with a negative offset: the kernel
+    # skips their strip DMA entirely and just zeros the output block
+    strip_off = np.where(rb_all_empty, np.int32(-8), strip_off)
     # window start inside the strip, ROW_ALIGN-floored; the sh-whc clamp
     # can only bind when the chunk sits at the strip top, where the window
     # [sh-whc, sh) still covers [req_lo, req_hi] (see derivation above)
@@ -257,22 +261,31 @@ def _kernel(strip_off, chunk_packed, src_hbm, map_ref,
         return pltpu.make_async_copy(
             src_hbm.at[c, :, pl.ds(s0, sh), :], strip.at[slot], sem.at[slot])
 
+    nonempty = strip_off[cam, rb] >= 0
     slot = jax.lax.rem(rb, 2)
     # double buffering: the very first grid step starts its own strip DMA;
-    # every step prefetches the next step's strip before computing
-    @pl.when(jnp.logical_and(cam == 0, rb == 0))
+    # every step prefetches the next step's strip before computing.
+    # Fully-empty row-blocks (negative strip_off) never DMA: each DMA is
+    # started exactly once — by the predecessor step, or by step 0 itself.
+    @pl.when(jnp.logical_and(jnp.logical_and(cam == 0, rb == 0), nonempty))
     def _():
         strip_dma(cam, rb, slot).start()
 
     is_last = jnp.logical_and(cam == n_cam - 1, rb == n_rb - 1)
+    nxt_cam = jnp.where(rb == n_rb - 1, cam + 1, cam)
+    nxt_rb = jnp.where(rb == n_rb - 1, 0, rb + 1)
+    nxt_cam = jnp.where(is_last, cam, nxt_cam)   # keep indices in range
+    nxt_rb = jnp.where(is_last, rb, nxt_rb)
 
-    @pl.when(jnp.logical_not(is_last))
+    @pl.when(jnp.logical_and(jnp.logical_not(is_last),
+                             strip_off[nxt_cam, nxt_rb] >= 0))
     def _():
-        nxt_cam = jnp.where(rb == n_rb - 1, cam + 1, cam)
-        nxt_rb = jnp.where(rb == n_rb - 1, 0, rb + 1)
         strip_dma(nxt_cam, nxt_rb, 1 - slot).start()
 
-    strip_dma(cam, rb, slot).wait()
+    @pl.when(nonempty)
+    def _():
+        strip_dma(cam, rb, slot).wait()
+
     s0 = pl.multiple_of(strip_off[cam, rb], 8)
 
     # loop-invariant constants (hoisted by Mosaic):
@@ -303,6 +316,10 @@ def _kernel(strip_off, chunk_packed, src_hbm, map_ref,
         # Bilinear weights ARE the tent function relu(1 - |k - l|):
         # out-of-source taps get weight 0 with exactly the gather path's
         # partial-tap semantics. Generated straight in [K sub, M lanes].
+        # (A per-chunk K-split contracting only the 128-lane slab half that
+        # carries taps measured SLOWER — 10.4 vs 10.1 ms — the extra conds
+        # cost more than the ~32% FLOP saving; the x-stage is not the
+        # bottleneck once empty chunks are skipped.)
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(kx - lx)).astype(jnp.bfloat16)
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(ky - ly))      # [whc, 256] f32
 
@@ -325,24 +342,37 @@ def _kernel(strip_off, chunk_packed, src_hbm, map_ref,
 
     def group(g, _):
         ckg = pl.multiple_of(g * 128, 128)
-        ls = []
-        for j in range(GROUP):
-            k = g * GROUP + j
-            v = chunk_packed[cam, rb, k]
-            val = jax.lax.cond(
-                v >= 0, lambda _: chunk_rows(k, v),
-                lambda _: jnp.zeros((channels, PX), jnp.float32), 0)
-            # [ch, 256] -> masked [ch*8, 256] re-tile LHS rows
-            ls.append(jnp.broadcast_to(
-                val[:, None, :], (channels, ROW_BLOCK, PX)
-            ).reshape(channels * ROW_BLOCK, PX) * m1)
-        lbig = jnp.concatenate(ls, axis=1)       # [ch*8, GROUP*256]
-        # one selection matmul re-tiles the whole group's rows to [8, 128]
-        # tiles (bf16: f32 MXU passes measured 2.5x slower; +-0.5/255)
-        o = jax.lax.dot_general(
-            lbig.astype(jnp.bfloat16), b2,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [ch*8, 128]
+        vs = [chunk_packed[cam, rb, g * GROUP + j] for j in range(GROUP)]
+        gmax = vs[0]
+        for j in range(1, GROUP):
+            gmax = jnp.maximum(gmax, vs[j])
+
+        def compute(_):
+            ls = []
+            for j in range(GROUP):
+                val = jax.lax.cond(
+                    vs[j] >= 0,
+                    lambda _, k=g * GROUP + j, v=vs[j]: chunk_rows(k, v),
+                    lambda _: jnp.zeros((channels, PX), jnp.float32), 0)
+                # [ch, 256] -> masked [ch*8, 256] re-tile LHS rows
+                ls.append(jnp.broadcast_to(
+                    val[:, None, :], (channels, ROW_BLOCK, PX)
+                ).reshape(channels * ROW_BLOCK, PX) * m1)
+            lbig = jnp.concatenate(ls, axis=1)   # [ch*8, GROUP*256]
+            # one selection matmul re-tiles the whole group's rows to
+            # [8, 128] tiles (bf16: f32 MXU passes measured 2.5x slower;
+            # +-0.5/255)
+            return jax.lax.dot_general(
+                lbig.astype(jnp.bfloat16), b2,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [ch*8, 128]
+
+        # all-empty groups (the scalloped band corners + empty row-blocks,
+        # ~half the chunks on the real rig) write zeros without touching
+        # the strip or the MXU
+        o = jax.lax.cond(
+            gmax >= 0, compute,
+            lambda _: jnp.zeros((channels * ROW_BLOCK, 128), jnp.float32), 0)
         for c in range(channels):
             out_ref[0, c, :, pl.ds(ckg, 128)] = \
                 o[c * ROW_BLOCK:(c + 1) * ROW_BLOCK, :]
