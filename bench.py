@@ -78,13 +78,11 @@ def main():
     pano_gold = np.asarray(gold_step(jnp.asarray(frames), st.state))
     parity = psnr(pano[valid > 0], pano_gold[valid > 0])
 
-    step = st._step
     state = st.state
-    st.output(st.stitch(frames, device=True))      # compile output resize
-    out_jit = st._out
 
     def device_frame(fj):
-        return out_jit(step(fj, state))
+        # fused stitch+output program (what the live Runner drives)
+        return st.stitch_out(fj, device=True)
 
     fj = jax.device_put(frames)
     _sync(fj)

@@ -187,6 +187,20 @@ def test_output_frame_aspect(small_stitch):
     assert out.shape[0] <= cfg.output_height
 
 
+def test_stitch_out_fused_matches_two_step(small_stitch):
+    """The fused blend+resize output program must match
+    output(stitch(frames)) within quantization (the two-step path rounds
+    the intermediate pano to u8 before resizing; the fused path resizes
+    f32)."""
+    cfg, geom, scene, frames, st, pano = small_stitch
+    ref = st.output(pano)
+    fused = st.stitch_out(frames)
+    assert fused.shape == ref.shape
+    diff = np.abs(fused.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 3 and diff.mean() < 0.2, \
+        f"fused vs two-step: max {diff.max()} mean {diff.mean():.3f}"
+
+
 def test_e2e_nonwrap_partial_ring():
     """wrapAround=false (defs.h:23): a 3-camera partial ring stitches onto a
     non-periodic panorama (layout union + u0 offset instead of static

@@ -70,6 +70,11 @@ PX = ROW_BLOCK * CHUNK_W  # out px per chunk (one [1, 256] lane row)
 SLAB_W = 256           # lane width of the rotated source slab
 WIN_W = 128            # lane width of the in-register window
 ROW_ALIGN = 16         # window row starts aligned to the bf16 sublane tile
+# when the double-buffered FULL per-camera source fits this budget, the plan
+# sets sh = src_hp and the kernel DMAs each camera once (resident-source
+# mode) instead of one overlapping strip per row-block — ~10x less HBM
+# traffic on the 1080p rig (1.48 GB -> 0.15 GB per frame)
+FULL_SRC_BYTES = 56 << 20
 
 
 def _round_up(x: int, m: int) -> int:
@@ -175,6 +180,8 @@ def plan_strips(maps: np.ndarray, src_h: int, src_w: int,
     rb_lo8 = (rb_lo // 8) * 8
     sh = int((rb_hi - rb_lo8 + 1).max()) + row_slack
     sh = min(_round_up(max(sh, whc, min_sh, ROW_ALIGN), ROW_ALIGN), src_hp)
+    if 2 * 3 * src_hp * src_wp * 2 <= FULL_SRC_BYTES:
+        sh = src_hp                     # resident-source mode (see kernel)
 
     strip_off = np.minimum(rb_lo8, src_hp - sh).astype(np.int32)
     # fully-empty row-blocks (the scalloped band top/bottom — ~30% of the
@@ -255,38 +262,65 @@ def _kernel(strip_off, chunk_packed, src_hbm, map_ref,
             out_ref, strip, sem, *, sh, whc, ncc, channels, n_cam, n_rb):
     cam = pl.program_id(0)
     rb = pl.program_id(1)
+    full_src = sh == src_hbm.shape[2]   # resident-source mode (static)
 
-    def strip_dma(c, r, slot):
-        s0 = pl.multiple_of(strip_off[c, r], 8)
-        return pltpu.make_async_copy(
-            src_hbm.at[c, :, pl.ds(s0, sh), :], strip.at[slot], sem.at[slot])
+    if full_src:
+        # one DMA per CAMERA: the whole source plane stays resident across
+        # its row-blocks, double-buffered across cameras
+        slot = jax.lax.rem(cam, 2)
 
-    nonempty = strip_off[cam, rb] >= 0
-    slot = jax.lax.rem(rb, 2)
-    # double buffering: the very first grid step starts its own strip DMA;
-    # every step prefetches the next step's strip before computing.
-    # Fully-empty row-blocks (negative strip_off) never DMA: each DMA is
-    # started exactly once — by the predecessor step, or by step 0 itself.
-    @pl.when(jnp.logical_and(jnp.logical_and(cam == 0, rb == 0), nonempty))
-    def _():
-        strip_dma(cam, rb, slot).start()
+        def cam_dma(c, s):
+            return pltpu.make_async_copy(src_hbm.at[c], strip.at[s],
+                                         sem.at[s])
 
-    is_last = jnp.logical_and(cam == n_cam - 1, rb == n_rb - 1)
-    nxt_cam = jnp.where(rb == n_rb - 1, cam + 1, cam)
-    nxt_rb = jnp.where(rb == n_rb - 1, 0, rb + 1)
-    nxt_cam = jnp.where(is_last, cam, nxt_cam)   # keep indices in range
-    nxt_rb = jnp.where(is_last, rb, nxt_rb)
+        @pl.when(jnp.logical_and(cam == 0, rb == 0))
+        def _():
+            cam_dma(cam, slot).start()
 
-    @pl.when(jnp.logical_and(jnp.logical_not(is_last),
-                             strip_off[nxt_cam, nxt_rb] >= 0))
-    def _():
-        strip_dma(nxt_cam, nxt_rb, 1 - slot).start()
+        @pl.when(jnp.logical_and(rb == 0, cam < n_cam - 1))
+        def _():
+            cam_dma(cam + 1, 1 - slot).start()
 
-    @pl.when(nonempty)
-    def _():
-        strip_dma(cam, rb, slot).wait()
+        @pl.when(rb == 0)
+        def _():
+            cam_dma(cam, slot).wait()
 
-    s0 = pl.multiple_of(strip_off[cam, rb], 8)
+        s0 = 0                          # strip row 0 IS source row 0
+    else:
+        def strip_dma(c, r, slot):
+            s0 = pl.multiple_of(strip_off[c, r], 8)
+            return pltpu.make_async_copy(
+                src_hbm.at[c, :, pl.ds(s0, sh), :], strip.at[slot],
+                sem.at[slot])
+
+        nonempty = strip_off[cam, rb] >= 0
+        slot = jax.lax.rem(rb, 2)
+        # double buffering: the very first grid step starts its own strip
+        # DMA; every step prefetches the next step's strip before
+        # computing. Fully-empty row-blocks (negative strip_off) never
+        # DMA: each DMA is started exactly once — by the predecessor step,
+        # or by step 0 itself.
+        @pl.when(jnp.logical_and(jnp.logical_and(cam == 0, rb == 0),
+                                 nonempty))
+        def _():
+            strip_dma(cam, rb, slot).start()
+
+        is_last = jnp.logical_and(cam == n_cam - 1, rb == n_rb - 1)
+        nxt_cam = jnp.where(rb == n_rb - 1, cam + 1, cam)
+        nxt_rb = jnp.where(rb == n_rb - 1, 0, rb + 1)
+        nxt_cam = jnp.where(is_last, cam, nxt_cam)   # keep indices in range
+        nxt_rb = jnp.where(is_last, rb, nxt_rb)
+
+        @pl.when(jnp.logical_and(jnp.logical_not(is_last),
+                                 strip_off[nxt_cam, nxt_rb] >= 0))
+        def _():
+            strip_dma(nxt_cam, nxt_rb, 1 - slot).start()
+
+        @pl.when(nonempty)
+        def _():
+            strip_dma(cam, rb, slot).wait()
+
+        s0 = pl.multiple_of(strip_off[cam, rb], 8)
 
     # loop-invariant constants (hoisted by Mosaic):
     # tap-index iotas along sublanes, in the weights' MXU-RHS layout

@@ -33,16 +33,62 @@ def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
     return m
 
 
+# above this many matrix elements the dense interp matmul wastes enough
+# FLOPs (2 taps of n_in are nonzero per row) to justify window tiling
+_BAND_THRESHOLD = 1 << 20
+_BAND_TILE = 256
+
+
+@functools.lru_cache(maxsize=64)
+def _banded_tiles(n_in: int, n_out: int, tile: int = _BAND_TILE):
+    """Tile the [n_out, n_in] interp matrix into static windows.
+
+    Returns ((out0, in0, M[tile_j, K]), ...): output cols [out0, out0+Tj)
+    read only input cols [in0, in0+K). Exact — every dropped entry is a
+    structural zero — but ~n_in/K times fewer FLOPs (the bilinear band is
+    ~tile*scale wide vs n_in)."""
+    m = _interp_matrix(n_in, n_out)
+    scale = n_in / n_out
+    k = min(n_in, int(np.ceil(tile * scale)) + 4)
+    tiles = []
+    for j0 in range(0, n_out, tile):
+        j1 = min(j0 + tile, n_out)
+        src_lo = int(np.floor((j0 + 0.5) * scale - 0.5))
+        in0 = max(0, min(src_lo, n_in - k))
+        tiles.append((j0, in0, m[j0:j1, in0:in0 + k]))
+    return tuple(tiles)
+
+
 def resize_planar(img, out_h: int, out_w: int):
     """img [..., H, W] -> [..., out_h, out_w], bilinear, f32."""
     h, w = img.shape[-2], img.shape[-1]
     x = img.astype(jnp.float32)
     if w != out_w:
-        mw = jnp.asarray(_interp_matrix(w, out_w))          # [Wo, W]
-        x = jnp.einsum("...hw,ow->...ho", x, mw, preferred_element_type=jnp.float32)
+        if w * out_w > _BAND_THRESHOLD:
+            parts = []
+            for _, in0, mw in _banded_tiles(w, out_w):
+                mj = jnp.asarray(mw)                        # [Tj, K]
+                parts.append(jnp.einsum(
+                    "...hk,tk->...ht", x[..., :, in0:in0 + mj.shape[1]], mj,
+                    preferred_element_type=jnp.float32))
+            x = jnp.concatenate(parts, axis=-1)
+        else:
+            mw = jnp.asarray(_interp_matrix(w, out_w))      # [Wo, W]
+            x = jnp.einsum("...hw,ow->...ho", x, mw,
+                           preferred_element_type=jnp.float32)
     if h != out_h:
-        mh = jnp.asarray(_interp_matrix(h, out_h))          # [Ho, H]
-        x = jnp.einsum("...hw,oh->...ow", x, mh, preferred_element_type=jnp.float32)
+        if h * out_h > _BAND_THRESHOLD:
+            parts = []
+            for _, in0, mh in _banded_tiles(h, out_h):
+                mj = jnp.asarray(mh)                        # [Tj, K]
+                parts.append(jnp.einsum(
+                    "...kw,tk->...tw", x[..., in0:in0 + mj.shape[1], :], mj,
+                    preferred_element_type=jnp.float32))
+            x = jnp.concatenate(parts, axis=-2)
+        else:
+            mh = jnp.asarray(_interp_matrix(h, out_h))      # [Ho, H]
+            x = jnp.einsum("...hw,oh->...ow", x, mh,
+                           preferred_element_type=jnp.float32)
     return x
 
 

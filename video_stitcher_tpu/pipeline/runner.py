@@ -112,16 +112,18 @@ class Runner:
         cfg = self.cfg
         first = True
         while True:
-            pano = self.results.pop(timeout=1.0)
-            if pano is None:
+            item = self.results.pop(timeout=1.0)
+            if item is None:
                 if self._stop.is_set():
                     break
                 continue
-            out = self.stitcher.output(pano)
+            out_dev, pano = item
+            out = self.stitcher.finalize_out(out_dev)
             if first:
                 try:
                     import cv2
-                    cv2.imwrite("calib.jpg", np.asarray(pano)[..., ::-1])
+                    if pano is not None:
+                        cv2.imwrite("calib.jpg", np.asarray(pano)[..., ::-1])
                     cv2.imwrite("result.jpg", out[..., ::-1])
                 except Exception:
                     pass
@@ -172,9 +174,13 @@ class Runner:
                 with self._latest_lock:
                     self._latest_frames = frames
                 with self.timers.time("stitch"):
-                    pano = self.stitcher.stitch(frames, device=True)
-                    pano.block_until_ready()
-                self.results.push(pano)
+                    out = self.stitcher.stitch_out(frames, device=True)
+                    # first frame also renders the full-res pano for the
+                    # calib.jpg dump (timed.cpp:255)
+                    pano = (self.stitcher.stitch(frames, device=True)
+                            if self.frames_done == 0 else None)
+                    out.block_until_ready()
+                self.results.push((out, pano))
                 self.frames_done += 1
                 if self.max_frames and self.frames_done >= self.max_frames:
                     break

@@ -92,16 +92,34 @@ def warp_bands(frames_u8, state: CalibState, geom: StitchGeometry,
     return jnp.clip(bands, 0.0, 255.0)
 
 
+def blend_f32(bands, state: CalibState, geom: StitchGeometry):
+    """Warped bands -> blended panorama, planar f32 [3, H, W]."""
+    if geom.blend_type == "feather" or geom.num_bands == 0:
+        return blend_feather(bands, state.weight_pyr[0][:, 0], geom.layout,
+                             state.valid_mask)
+    return blend_bands(bands, state.weight_pyr, geom.layout,
+                       state.valid_mask, geom.blend_precision)
+
+
+def _pack_u8_hwc(pano_f32):
+    pano = jnp.clip(jnp.round(pano_f32), 0.0, 255.0).astype(jnp.uint8)
+    return jnp.moveaxis(pano, 0, -1)
+
+
 def blend_pack(bands, state: CalibState, geom: StitchGeometry):
     """Warped bands -> u8 panorama (blend + quantize + HWC)."""
-    if geom.blend_type == "feather" or geom.num_bands == 0:
-        pano = blend_feather(bands, state.weight_pyr[0][:, 0], geom.layout,
-                             state.valid_mask)
-    else:
-        pano = blend_bands(bands, state.weight_pyr, geom.layout,
-                           state.valid_mask, geom.blend_precision)
-    pano = jnp.clip(jnp.round(pano), 0.0, 255.0).astype(jnp.uint8)
-    return jnp.moveaxis(pano, 0, -1)
+    return _pack_u8_hwc(blend_f32(bands, state, geom))
+
+
+def blend_resize_pack(bands, state: CalibState, geom: StitchGeometry,
+                      out_h: int, out_w: int):
+    """Warped bands -> final output frame u8 [out_h, out_w, 3].
+
+    Fuses the consumer resize (timed.cpp:281) into the blend program,
+    staying planar f32 throughout — skips the intermediate full-res u8
+    pack and both HWC<->CHW lane transposes of the two-step path."""
+    pano = blend_f32(bands, state, geom)
+    return _pack_u8_hwc(resize_planar(pano, out_h, out_w))
 
 
 def stitch_pano(frames_u8, state: CalibState, geom: StitchGeometry,
@@ -129,6 +147,8 @@ class Stitcher:
         self.geom: Optional[StitchGeometry] = None
         self.state: Optional[CalibState] = None
         self._step = None
+        self._step_out = None
+        self._warp_j = None
         self._out = None
         self._warp_static = None
 
@@ -162,6 +182,7 @@ class Stitcher:
         (tests) one fused program is better.
         """
         geom = self.geom
+        self._step_out = None
         if self._warp_static is not None:
             warp_j = jax.jit(functools.partial(
                 warp_bands, geom=geom, warp_static=self._warp_static))
@@ -170,8 +191,10 @@ class Stitcher:
             def step(frames, state):
                 return blend_j(warp_j(frames, state), state)
 
+            self._warp_j = warp_j
             self._step = step
         else:
+            self._warp_j = None
             self._step = jax.jit(functools.partial(
                 stitch_pano, geom=geom, warp_static=None))
 
@@ -239,21 +262,45 @@ class Stitcher:
             pano = self._step(nv, self.state)
         return pano if device else np.asarray(pano)
 
-    def output(self, pano_u8):
-        """pano -> final output frame at cfg.output_* with aspect policy
-        (timed.cpp:254-292)."""
+    def _out_size(self):
+        """Output frame size under the aspect policy (timed.cpp:254-292)."""
         cfg = self.cfg
-        if self._out is None:
-            if cfg.keep_aspect_ratio:
-                oh = int(cfg.output_width / self.geom.pano_w * self.geom.pano_h + 0.5)
-                oh = min(oh, cfg.output_height)
+        if cfg.keep_aspect_ratio:
+            oh = int(cfg.output_width / self.geom.pano_w * self.geom.pano_h + 0.5)
+            oh = min(oh, cfg.output_height)
+        else:
+            oh = cfg.output_height
+        return oh, cfg.output_width
+
+    def stitch_out(self, frames: np.ndarray, device: bool = False):
+        """frames u8 [N, H, W, 3] (or NV12 [N, H*3/2, W]) -> final output
+        frame, skipping the intermediate full-res u8 pano (fused
+        blend+resize program). device=True returns the jax array before
+        black-bar compositing; otherwise equivalent to
+        output(stitch(frames))."""
+        if self._step_out is None:
+            oh, ow = self._out_size()
+            blend_out_j = jax.jit(functools.partial(
+                blend_resize_pack, geom=self.geom, out_h=oh, out_w=ow))
+            if self._warp_j is not None:
+                warp_j = self._warp_j
+
+                def step_out(f, s):
+                    return blend_out_j(warp_j(f, s), s)
             else:
-                oh = cfg.output_height
-            self._out = jax.jit(functools.partial(
-                output_frame, out_h=oh, out_w=cfg.output_width))
-            self._out_h = oh
-        frame = self._out(pano_u8 if isinstance(pano_u8, jnp.ndarray)
-                          else jnp.asarray(pano_u8))
+                geom = self.geom
+
+                def step_out(f, s):
+                    return blend_out_j(warp_bands(f, s, geom), s)
+                step_out = jax.jit(step_out)
+            self._step_out = step_out
+        frame = self._step_out(jnp.asarray(frames), self.state)
+        return frame if device else self.finalize_out(frame)
+
+    def finalize_out(self, frame):
+        """Device output frame -> host np frame with the black-bar policy
+        applied (timed.cpp:285-292)."""
+        cfg = self.cfg
         frame = np.asarray(frame)
         if cfg.keep_aspect_ratio and cfg.add_black_bars:
             canvas = np.zeros((cfg.output_height, cfg.output_width, 3), np.uint8)
@@ -261,6 +308,18 @@ class Stitcher:
             canvas[y0:y0 + frame.shape[0]] = frame
             return canvas
         return frame
+
+    def output(self, pano_u8):
+        """pano -> final output frame at cfg.output_* with aspect policy
+        (timed.cpp:254-292)."""
+        if self._out is None:
+            oh, ow = self._out_size()
+            self._out = jax.jit(functools.partial(
+                output_frame, out_h=oh, out_w=ow))
+            self._out_h = oh
+        frame = self._out(pano_u8 if isinstance(pano_u8, jnp.ndarray)
+                          else jnp.asarray(pano_u8))
+        return self.finalize_out(frame)
 
     # --- recalibration (CPW mesh) -------------------------------------
     def recalibrate_mesh(self, frames: np.ndarray) -> bool:
