@@ -258,7 +258,7 @@ def repack_maps_lane(maps):
     return x.reshape(n, nrb, two, ncc * PX)
 
 
-def _kernel(strip_off, chunk_packed, src_hbm, map_ref,
+def _kernel(strip_off, chunk_packed, gains, src_hbm, map_ref,
             out_ref, strip, sem, *, sh, whc, ncc, channels, n_cam, n_rb):
     cam = pl.program_id(0)
     rb = pl.program_id(1)
@@ -407,6 +407,10 @@ def _kernel(strip_off, chunk_packed, src_hbm, map_ref,
         o = jax.lax.cond(
             gmax >= 0, compute,
             lambda _: jnp.zeros((channels * ROW_BLOCK, 128), jnp.float32), 0)
+        # per-camera gain + u8-range clamp fused into the output write
+        # (timed.cpp:94 convertTo) — saves a full elementwise pass over
+        # the 164 MB band tensor between the warp and blend programs
+        o = jnp.clip(o * gains[cam], 0.0, 255.0)
         for c in range(channels):
             out_ref[0, c, :, pl.ds(ckg, 128)] = \
                 o[c * ROW_BLOCK:(c + 1) * ROW_BLOCK, :]
@@ -417,19 +421,23 @@ def _kernel(strip_off, chunk_packed, src_hbm, map_ref,
 
 @functools.partial(jax.jit, static_argnames=("sh", "whc", "interpret"))
 def remap_strips(src_planar, maps_lane, strip_off, chunk_packed, *,
-                 sh: int, whc: int, interpret: bool = False):
+                 sh: int, whc: int, gains=None, interpret: bool = False):
     """src_planar: bf16 [N, C, Hp, Wp] (prep_source); maps_lane: f32
     [N, nrb, 2, ncc*256] (repack_maps_lane of pad_maps output); offsets
-    from plan_strips. Returns f32 [N, C, bh_p, bw_p].
+    from plan_strips; gains: optional f32 [N] per-camera multiplier fused
+    into the output write (with the u8-range clamp). Returns f32
+    [N, C, bh_p, bw_p].
     """
     n, ch, hp, wp = src_planar.shape
     _, nrb, _, nl = maps_lane.shape
     ncc = nl // PX
     bh = nrb * ROW_BLOCK
     bw = ncc * CHUNK_W
+    if gains is None:
+        gains = jnp.ones((n,), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n, nrb),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),               # src stays HBM
@@ -461,4 +469,5 @@ def remap_strips(src_planar, maps_lane, strip_off, chunk_packed, *,
             vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )
-    return fn(strip_off, chunk_packed, src_planar, maps_lane)
+    return fn(strip_off, chunk_packed, jnp.asarray(gains, jnp.float32),
+              src_planar, maps_lane)

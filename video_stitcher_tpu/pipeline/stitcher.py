@@ -75,8 +75,9 @@ def warp_bands(frames_u8, state: CalibState, geom: StitchGeometry,
         sh, whc = warp_static
         src = _prep_strip_source(frames_u8, geom)
         bands = remap_strips(src, state.warp_maps_lane, state.warp_strip_off,
-                             state.warp_chunk_packed, sh=sh, whc=whc)
-        bands = bands[:, :, :lay.band_h, :lay.band_w]
+                             state.warp_chunk_packed, sh=sh, whc=whc,
+                             gains=state.gains)   # gain fused in-kernel
+        return bands[:, :, :lay.band_h, :lay.band_w]
     else:
         from video_stitcher_tpu.calib.calibration import prewarp_source
         x = jnp.moveaxis(frames_u8, -1, 1).astype(jnp.float32)   # [N,3,H,W]
