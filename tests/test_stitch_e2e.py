@@ -187,6 +187,59 @@ def test_output_frame_aspect(small_stitch):
     assert out.shape[0] <= cfg.output_height
 
 
+def test_e2e_two_cam_feather():
+    """BASELINE config 1 shape: 2 cameras, global warp only, feather
+    blend (no multiband pyramids)."""
+    import math
+    cfg = StitcherConfig(num_images=2, wrap_around=False,
+                         input_width=320, input_height=180,
+                         yaws=(0.0, math.pi / 3), blend_type="feather",
+                         enable_local=False, recalibrate=False)
+    geom, _ = plan_geometry(cfg)
+    lay = geom.layout
+    assert geom.blend_type == "feather"
+    rng = np.random.default_rng(13)
+    scene = make_scene(lay.pano_w, lay.pano_h, rng)
+    frames = render_views(cfg, geom, scene)
+    st = Stitcher(cfg)
+    st.calibrate(frames)
+    pano = st.stitch(frames)
+    gt = np.moveaxis(np.roll(scene, -int(round(lay.u0)), axis=2), 0, -1)
+    valid = np.asarray(st.state.valid_mask) > 0
+    h = geom.pano_h
+    sel = valid[h // 4: 3 * h // 4]
+    assert sel.any()
+    val = psnr(pano[h // 4: 3 * h // 4][sel], gt[h // 4: 3 * h // 4][sel])
+    assert val > 30.0, f"feather PSNR {val:.1f} dB too low"
+
+
+def test_strip_plan_4k_to_8k():
+    """BASELINE config 4 shape: 6x4K inputs -> 8K-class pano. The strip
+    planner must produce a valid plan (packed-offset encodings in range,
+    VMEM budget forces per-row-block strips, x spans within the window)."""
+    from video_stitcher_tpu.calib.calibration import compose_fused_maps
+    from video_stitcher_tpu.geometry.cylindrical import band_backward_maps
+    import video_stitcher_tpu.ops.remap_strips as rs
+
+    cfg = StitcherConfig(num_images=6, input_width=3840, input_height=2160,
+                         compose_megapix=-1.0, enable_local=False,
+                         recalibrate=False)
+    geom, cams = plan_geometry(cfg)
+    assert geom.pano_w >= 7000                       # 8K-class output
+    fused = compose_fused_maps(geom, band_backward_maps(geom.layout, cams))
+    mp = rs.pad_maps(np.asarray(fused))
+    warp_w = ((geom.warp_src_w + 127) // 128) * 128
+    plan = rs.plan_strips(mp, geom.warp_src_h, warp_w)
+    # 2 * 3 * 2176 * 3968 * 2 bytes > FULL_SRC_BYTES: strip mode, not
+    # resident-source
+    assert plan.sh < plan.src_hp
+    assert (plan.strip_off < plan.src_hp).all()
+    nonempty = plan.chunk_packed >= 0
+    assert nonempty.any()
+    assert ((plan.chunk_packed[nonempty] & 0xFF) * rs.ROW_ALIGN
+            <= plan.sh - plan.whc).all()
+
+
 def test_stitch_out_fused_matches_two_step(small_stitch):
     """The fused blend+resize output program must match
     output(stitch(frames)) within quantization (the two-step path rounds
