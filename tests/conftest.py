@@ -9,6 +9,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# A sitecustomize in some dev environments imports jax at interpreter start
+# (registering a tunneled TPU backend), so the env vars above can be read
+# too late — force the platform through the live config as well, BEFORE any
+# backend initializes. Without this, the "8-device CPU mesh" silently
+# collapses to the single real TPU chip.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    "tests must run on the CPU backend, got " + jax.default_backend())
+
 # Persistent compilation cache: this machine has ONE cpu core, so XLA compiles
 # dominate test time. Cache every executable (no min-time/min-size gates) so
 # repeat runs of the suite skip compilation entirely.

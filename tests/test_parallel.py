@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from video_stitcher_tpu.config import StitcherConfig
@@ -41,3 +42,31 @@ def test_sharded_matches_single_chip(small, n_dev):
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_shard_state_threads_strip_plan():
+    """When the state carries a strip-warp plan, shard_state must shard it
+    with the cameras and pad extra cameras with the kernel's skip flags
+    (negative strip_off / chunk_packed)."""
+    from video_stitcher_tpu.calib.state import CalibState
+
+    n, nrb, ncc = 6, 4, 8
+    state = CalibState(
+        fused_maps=jnp.zeros((n, 2, 32, 256), jnp.float32),
+        gains=jnp.ones((n,), jnp.float32),
+        weight_pyr=(jnp.zeros((n, 1, 32, 256), jnp.float32),),
+        valid_mask=jnp.zeros((32, 1024), jnp.float32),
+        warp_strip_off=jnp.zeros((n, nrb), jnp.int32),
+        warp_chunk_packed=jnp.zeros((n, nrb, ncc), jnp.int32),
+        warp_maps_lane=jnp.zeros((n, nrb, 2, ncc * 256), jnp.float32),
+    )
+
+    class GeomStub:
+        class layout:
+            corners = tuple(range(n))
+    mesh = Mesh(np.array(jax.devices()[:4]), ("cam",))
+    sh_state, corners, total = shard_state(state, GeomStub, mesh)
+    assert total == 8 and sh_state.warp_strip_off.shape[0] == 8
+    assert (np.asarray(sh_state.warp_strip_off[n:]) == -8).all()
+    assert (np.asarray(sh_state.warp_chunk_packed[n:]) == -1).all()
+    assert sh_state.warp_maps_lane.shape == (8, nrb, 2, ncc * 256)

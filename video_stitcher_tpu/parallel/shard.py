@@ -45,12 +45,13 @@ def _dyn_place(pano, band, corner, pano_w: int, wrap: bool):
     return wide[..., :pano_w] + wide[..., pano_w:]
 
 
-def pad_cameras(arr: np.ndarray, total: int) -> np.ndarray:
-    """Pad the leading camera axis with zeros up to `total`."""
+def pad_cameras(arr: np.ndarray, total: int, fill=0) -> np.ndarray:
+    """Pad the leading camera axis up to `total` (fill: padded cameras of
+    the strip plan use -1/-8 skip flags so they cost nothing)."""
     if arr.shape[0] == total:
         return arr
     pad = [(0, total - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
-    return np.pad(arr, pad)
+    return np.pad(arr, pad, constant_values=fill)
 
 
 def shard_state(state: CalibState, geom: StitchGeometry, mesh: Mesh,
@@ -69,25 +70,50 @@ def shard_state(state: CalibState, geom: StitchGeometry, mesh: Mesh,
                  for w in state.weight_pyr)
     valid = jax.device_put(np.asarray(state.valid_mask), rep)
     corners = np.asarray(list(geom.layout.corners) + [0] * (total - n), np.int32)
-    return CalibState(fused, gains, wpyr, valid), jax.device_put(corners, rep), total
+    so = cp = wml = None
+    if state.warp_maps_lane is not None:
+        # strip-warp plan, sharded with the cameras; padded cameras carry
+        # the kernel's skip flags (negative strip_off / chunk_packed)
+        so = jax.device_put(pad_cameras(
+            np.asarray(state.warp_strip_off), total, fill=-8), cam_sharding)
+        cp = jax.device_put(pad_cameras(
+            np.asarray(state.warp_chunk_packed), total, fill=-1), cam_sharding)
+        wml = jax.device_put(pad_cameras(
+            np.asarray(state.warp_maps_lane), total, fill=-1), cam_sharding)
+    return (CalibState(fused, gains, wpyr, valid, so, cp, wml),
+            jax.device_put(corners, rep), total)
 
 
 def build_sharded_step(geom: StitchGeometry, mesh: Mesh, axis: str = "cam",
-                       total_cams: int | None = None):
+                       total_cams: int | None = None, warp_static=None):
     """Returns jit(frames_u8 [total, H, W, 3] sharded on cameras, state,
-    corners) -> replicated u8 pano."""
+    corners) -> replicated u8 pano.
+
+    warp_static = (sh, whc) runs each device's local warp through the
+    production Pallas strip kernel (the state must carry the sharded strip
+    plan, shard_state handles it); None = XLA gather (CPU dry-runs)."""
     lay = geom.layout
     levels = geom.num_bands
 
-    def local_step(frames, fused, gains, wpyr, valid, corners):
+    def local_step(frames, fused, gains, wpyr, so, cp, wml, valid, corners):
         # frames: [local_n, H, W, 3] on this device
         local_n = frames.shape[0]
         me = jax.lax.axis_index(axis)
-        from video_stitcher_tpu.calib.calibration import prewarp_source
-        x = jnp.moveaxis(frames, -1, 1).astype(jnp.float32)
-        x = prewarp_source(x, geom)
-        bands = jax.vmap(lambda im, m: remap_planar(im, m[0], m[1]))(x, fused)
-        bands = jnp.clip(bands * gains[:, None, None, None], 0.0, 255.0)
+        if warp_static is not None:
+            from video_stitcher_tpu.ops.remap_strips import remap_strips
+            from video_stitcher_tpu.pipeline.stitcher import _prep_strip_source
+            src = _prep_strip_source(frames, geom)
+            sh, whc = warp_static
+            bands = remap_strips(src, wml, so, cp, sh=sh, whc=whc,
+                                 gains=gains)
+            bands = bands[:, :, :lay.band_h, :lay.band_w]
+        else:
+            from video_stitcher_tpu.calib.calibration import prewarp_source
+            x = jnp.moveaxis(frames, -1, 1).astype(jnp.float32)
+            x = prewarp_source(x, geom)
+            bands = jax.vmap(lambda im, m: remap_planar(im, m[0], m[1]))(
+                x, fused[:, :, :lay.band_h, :lay.band_w])
+            bands = jnp.clip(bands * gains[:, None, None, None], 0.0, 255.0)
         lap = laplacian_pyramid(bands, levels, geom.blend_precision)
         acc = []
         for l in range(levels + 1):
@@ -112,13 +138,24 @@ def build_sharded_step(geom: StitchGeometry, mesh: Mesh, axis: str = "cam",
     sharded = shard_map(
         local_step, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis),
-                  tuple(P(axis) for _ in range(levels + 1)), P(), P()),
+                  tuple(P(axis) for _ in range(levels + 1)),
+                  P(axis), P(axis), P(axis), P(), P()),
         out_specs=P(),
         check_rep=False)
 
     @jax.jit
     def step(frames, state: CalibState, corners):
+        n = state.fused_maps.shape[0]
+        so = state.warp_strip_off
+        cp = state.warp_chunk_packed
+        wml = state.warp_maps_lane
+        if warp_static is None and wml is None:
+            # keep the gather-path spec arity with tiny dummies
+            so = jnp.zeros((n, 1), jnp.int32)
+            cp = jnp.zeros((n, 1, 1), jnp.int32)
+            wml = jnp.zeros((n, 1, 2, 1), jnp.float32)
         return sharded(frames, state.fused_maps, state.gains,
-                       state.weight_pyr, state.valid_mask, corners)
+                       state.weight_pyr, so, cp, wml,
+                       state.valid_mask, corners)
 
     return step
