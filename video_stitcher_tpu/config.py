@@ -85,6 +85,10 @@ class StitcherConfig:
     send_height_info: bool = True
     results_max_size: int = 0
     clear_buffers: bool = False
+    #: write a jax.profiler device trace of the first trace_frames stitched
+    #: frames here (TensorBoard/Perfetto readable); "" = off
+    trace_dir: str = ""
+    trace_frames: int = 20
 
     # --- live capture plane (defs.h:8,10-20,38) ---
     use_stream: bool = False

@@ -151,6 +151,7 @@ class Runner:
 
     # --- main loop -------------------------------------------------------
     def run(self) -> None:
+        cfg = self.cfg
         source = self._make_source()
         frames = source.get_frames()
         if frames is None:
@@ -164,6 +165,7 @@ class Runner:
         consumer.start()
         recalib.start()
 
+        tracing = False
         try:
             while not self._stop.is_set():
                 with self.timers.time("acquire"):
@@ -171,6 +173,15 @@ class Runner:
                 if frames is None:
                     log.info("source exhausted")
                     break
+                if cfg.trace_dir and not tracing and self.frames_done == 0:
+                    import jax
+                    jax.profiler.start_trace(cfg.trace_dir)
+                    tracing = True
+                elif tracing and self.frames_done >= cfg.trace_frames:
+                    import jax
+                    jax.profiler.stop_trace()
+                    tracing = False
+                    log.info("device trace written to %s", cfg.trace_dir)
                 with self._latest_lock:
                     self._latest_frames = frames
                 with self.timers.time("stitch"):
@@ -185,6 +196,9 @@ class Runner:
                 if self.max_frames and self.frames_done >= self.max_frames:
                     break
         finally:
+            if tracing:
+                import jax
+                jax.profiler.stop_trace()
             self._stop.set()
             self.results.close()
             consumer.join(timeout=10)
