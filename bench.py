@@ -111,21 +111,10 @@ def main():
 
     # --- production NV12 ingest path (defs.h:10-17 capture format):
     # half the upload bytes of RGB, planar conversion fused on device ---
-    def rgb_to_nv12_host(rgb):
-        r = rgb[..., 0].astype(np.float64)
-        g = rgb[..., 1].astype(np.float64)
-        b = rgb[..., 2].astype(np.float64)
-        y = 0.256788 * r + 0.504129 * g + 0.097906 * b + 16.0
-        u = (-0.148223 * r - 0.290993 * g + 0.439216 * b + 128.0)[0::2, 0::2]
-        v = (0.439216 * r - 0.367788 * g - 0.071427 * b + 128.0)[0::2, 0::2]
-        h, w = rgb.shape[:2]
-        uv = np.empty((h // 2, w), np.float64)
-        uv[:, 0::2] = u
-        uv[:, 1::2] = v
-        out = np.concatenate([y, uv], axis=0)
-        return np.clip(np.round(out), 0, 255).astype(np.uint8)
-
-    nv12 = np.stack([rgb_to_nv12_host(f) for f in frames])
+    from video_stitcher_tpu.ops.color import rgb_to_nv12
+    from video_stitcher_tpu.utils.hostdev import host_eager
+    with host_eager():
+        nv12 = np.stack([np.asarray(rgb_to_nv12(f)) for f in frames])
     nv_j = jax.device_put(nv12)
     _sync(nv_j)
     _sync(st.stitch_out(nv_j, device=True))        # warmup/compile

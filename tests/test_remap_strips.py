@@ -57,3 +57,36 @@ def test_remap_strips_invalid_regions(rng):
     out, _ = _run(np.stack([mx, my])[None], frames, src_h, src_w)
     assert np.all(out[0, :, :, :32] > 0)
     assert np.all(out[0, :, :, 32:] == 0.0)
+
+
+def test_remap_strips_strip_mode_odd_nrb(rng, monkeypatch):
+    """Per-row-block strip DMAs (resident-source mode disabled) with an ODD
+    number of row-blocks: the double-buffer slot parity must follow the
+    global grid step, or the prefetch chain breaks at camera boundaries
+    (regression test for the rb-parity bug)."""
+    import video_stitcher_tpu.ops.remap_strips as rs
+    monkeypatch.setattr(rs, "FULL_SRC_BYTES", 0)   # force strip mode
+
+    src_h, src_w = 128, 256
+    bh, bw = 3 * ROW_BLOCK, 128                    # nrb = 3 (odd)
+    frames = rng.integers(0, 255, (2, src_h, src_w, 3)).astype(np.uint8)
+    gy, gx = np.mgrid[0:bh, 0:bw].astype(np.float32)
+    # gentle vertical span per row-block so sh stays well under src_h
+    mx0 = gx * 1.5 + 3 * np.sin(gy / 5.0)
+    my0 = gy * 2.0 + 2 * np.cos(gx / 11.0) + 40
+    maps = np.stack([np.stack([mx0, my0]),
+                     np.stack([mx0 * 0.95 + 4, my0 + 15])]).astype(np.float32)
+    mp = pad_maps(maps)
+    plan = plan_strips(mp, src_h, src_w)
+    assert plan.sh < plan.src_hp, "test must exercise strip mode"
+    assert (mp.shape[2] // ROW_BLOCK) % 2 == 1
+    src = prep_source(jnp.asarray(frames))
+    out = np.asarray(remap_strips(
+        src, repack_maps_lane(jnp.asarray(mp)), jnp.asarray(plan.strip_off),
+        jnp.asarray(plan.chunk_packed), sh=plan.sh, whc=plan.whc,
+        interpret=True))
+    for n in range(2):
+        img = np.moveaxis(frames[n], -1, 0).astype(np.float32)
+        gold = np.asarray(remap_planar(img, mp[n, 0], mp[n, 1],
+                                       border="constant"))
+        np.testing.assert_allclose(out[n], gold, atol=2.0)

@@ -340,3 +340,47 @@ def test_prewarp_strip_path_matches_gather(monkeypatch):
 
     diff = np.abs(pano_strip.astype(np.int32) - pano_gather.astype(np.int32))
     assert diff.max() <= 3, f"strip vs gather max diff {diff.max()}"
+
+
+def test_interpolate_states_strip_path(monkeypatch):
+    """RECALIB_INTERP on the production warp path: the mixed state must
+    lerp warp_maps_lane and carry a window plan covering both endpoints,
+    matching the gather path on the same mixed fused maps."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import video_stitcher_tpu.ops.remap_strips as rsmod
+    from video_stitcher_tpu.pipeline.stitcher import stitch_pano
+
+    monkeypatch.setattr(Stitcher, "_use_strip_warp", lambda self: True)
+    monkeypatch.setattr(rsmod, "remap_strips",
+                        functools.partial(rsmod.remap_strips, interpret=True))
+
+    cfg = StitcherConfig(**SMALL)
+    geom, _ = plan_geometry(cfg)
+    rng = np.random.default_rng(17)
+    scene = make_scene(geom.layout.pano_w, geom.layout.pano_h, rng)
+    frames = render_views(cfg, geom, scene)
+    st = Stitcher(cfg)
+    st.calibrate(frames)
+    old = st.state
+
+    # a "new mesh": shift every valid map coordinate down-right a little
+    mp = np.asarray(old.fused_maps)
+    shifted = np.where(mp > -1, mp + 1.5, mp).astype(np.float32)
+    new = st._plan_warp(old._replace(fused_maps=jnp.asarray(shifted)))
+
+    mixed = st.interpolate_states(old, new, 0.5)
+    assert mixed.warp_maps_lane is not None
+    np.testing.assert_allclose(
+        np.asarray(mixed.warp_maps_lane),
+        0.5 * np.asarray(old.warp_maps_lane)
+        + 0.5 * np.asarray(new.warp_maps_lane), atol=1e-5)
+
+    st.swap_state(mixed)
+    pano_strip = st.stitch(frames)
+    gold = np.asarray(jax.jit(functools.partial(
+        stitch_pano, geom=st.geom, warp_static=None))(
+            jnp.asarray(frames), mixed))
+    diff = np.abs(pano_strip.astype(np.int32) - gold.astype(np.int32))
+    assert diff.max() <= 3, f"interp strip vs gather max diff {diff.max()}"

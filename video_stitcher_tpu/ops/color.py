@@ -71,6 +71,22 @@ def swap_rb(img):
     return img[..., ::-1]
 
 
+def rgb_to_nv12(rgb):
+    """RGB u8/f32 [H, W, 3] -> NV12 u8 [H*3/2, W] (Y plane, then one
+    half-height plane of interleaved U,V), the capture-board frame format
+    (360_stitcher/defs.h:10-17). Same BT.601 video-range matrix and
+    top-left 2x2 chroma subsample as rgb_to_i420."""
+    h, w = rgb.shape[0], rgb.shape[1]
+    x = rgb.astype(jnp.float32)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    y = 0.256788 * r + 0.504129 * g + 0.097906 * b + 16.0
+    u = (-0.148223 * r - 0.290993 * g + 0.439216 * b + 128.0)[0::2, 0::2]
+    v = (0.439216 * r - 0.367788 * g - 0.071427 * b + 128.0)[0::2, 0::2]
+    uv = jnp.stack([u, v], axis=-1).reshape(h // 2, w)
+    out = jnp.concatenate([y, uv], axis=0)
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+
 def rgb_to_i420(rgb):
     """RGB u8/f32 [H, W, 3] -> I420 u8 [H*3/2, W] (Y plane, then quarter-res
     U plane rows, then V plane rows), matching COLOR_BGR2YUV_I420 layout used

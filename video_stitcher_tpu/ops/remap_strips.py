@@ -113,19 +113,9 @@ def pad_maps(maps: np.ndarray) -> np.ndarray:
     return out
 
 
-def plan_strips(maps: np.ndarray, src_h: int, src_w: int,
-                row_slack: int = 8, min_sh: int = 0,
-                min_whc: int = 0) -> StripPlan:
-    """Precompute strip/chunk offsets for padded maps [N, 2, bh_p, bw_p].
-
-    The x window is a fixed 128 lanes; the plan asserts per-chunk x spans
-    fit (they do whenever the horizontal magnification is < ~3.9x over a
-    32-px chunk). row_slack widens the static heights so small mesh
-    recalibrations don't force a re-jit.
-    """
+def _chunk_stats(maps: np.ndarray, src_h: int, src_w: int):
+    """Per-chunk min/max of valid map coords + per-chunk emptiness."""
     n, _, bh, bw = maps.shape
-    assert bh % ROW_BLOCK == 0 and bw % 128 == 0
-    assert src_w % 128 == 0 and src_w >= SLAB_W
     nrb = bh // ROW_BLOCK
     ncc = bw // CHUNK_W
     mx = maps[:, 0].reshape(n, nrb, ROW_BLOCK, ncc, CHUNK_W)
@@ -140,6 +130,38 @@ def plan_strips(maps: np.ndarray, src_h: int, src_w: int,
     my_max = np.where(valid, my, -big).max(axis=(2, 4))
     mx_min = np.where(valid, mx, big).min(axis=(2, 4))
     mx_max = np.where(valid, mx, -big).max(axis=(2, 4))
+    return my_min, my_max, mx_min, mx_max
+
+
+def plan_strips(maps: np.ndarray, src_h: int, src_w: int,
+                row_slack: int = 8, min_sh: int = 0,
+                min_whc: int = 0, maps_b: np.ndarray | None = None
+                ) -> StripPlan:
+    """Precompute strip/chunk offsets for padded maps [N, 2, bh_p, bw_p].
+
+    The x window is a fixed 128 lanes; the plan asserts per-chunk x spans
+    fit (they do whenever the horizontal magnification is < ~3.9x over a
+    32-px chunk). row_slack widens the static heights so small mesh
+    recalibrations don't force a re-jit.
+
+    maps_b: optional second endpoint — the plan then covers BOTH maps and,
+    by convexity of per-chunk tap intervals, every linear interpolation
+    between them (the RECALIB_INTERP mesh animation, timed.cpp:452-459).
+    """
+    n, _, bh, bw = maps.shape
+    assert bh % ROW_BLOCK == 0 and bw % 128 == 0
+    assert src_w % 128 == 0 and src_w >= SLAB_W
+    nrb = bh // ROW_BLOCK
+    ncc = bw // CHUNK_W
+    my_min, my_max, mx_min, mx_max = _chunk_stats(maps, src_h, src_w)
+    if maps_b is not None:
+        assert maps_b.shape == maps.shape
+        bmy_min, bmy_max, bmx_min, bmx_max = _chunk_stats(maps_b, src_h,
+                                                          src_w)
+        my_min = np.minimum(my_min, bmy_min)
+        my_max = np.maximum(my_max, bmy_max)
+        mx_min = np.minimum(mx_min, bmx_min)
+        mx_max = np.maximum(mx_max, bmx_max)
     empty = my_min > my_max
     for a in (my_min, my_max, mx_min, mx_max):
         a[empty] = 0.0
@@ -294,7 +316,11 @@ def _kernel(strip_off, chunk_packed, gains, src_hbm, map_ref,
                 sem.at[slot])
 
         nonempty = strip_off[cam, rb] >= 0
-        slot = jax.lax.rem(rb, 2)
+        # slot parity follows the GLOBAL grid step (not rb alone): with an
+        # odd n_rb, rb-parity would break the prefetch chain at every
+        # camera boundary (prefetch lands in one buffer, the next step
+        # waits on the other -> hang)
+        slot = jax.lax.rem(cam * n_rb + rb, 2)
         # double buffering: the very first grid step starts its own strip
         # DMA; every step prefetches the next step's strip before
         # computing. Fully-empty row-blocks (negative strip_off) never

@@ -100,10 +100,11 @@ class Runner:
                         for k in range(1, steps):
                             if self._stop.is_set():
                                 break
-                            self.stitcher.state = self.stitcher.interpolate_states(
-                                old_state, new_state, k / (steps - 1))
+                            self.stitcher.swap_state(
+                                self.stitcher.interpolate_states(
+                                    old_state, new_state, k / (steps - 1)))
                             time.sleep(0.03)
-                        self.stitcher.state = new_state
+                        self.stitcher.swap_state(new_state)
             except Exception as e:          # recalib must never kill the loop
                 log.warning("recalibration failed: %s", e)
 
@@ -174,12 +175,14 @@ class Runner:
                     log.info("source exhausted")
                     break
                 if cfg.trace_dir and not tracing and self.frames_done == 0:
-                    import jax
-                    jax.profiler.start_trace(cfg.trace_dir)
+                    from video_stitcher_tpu.utils.trace import \
+                        start_device_trace
+                    start_device_trace(cfg.trace_dir)
                     tracing = True
                 elif tracing and self.frames_done >= cfg.trace_frames:
-                    import jax
-                    jax.profiler.stop_trace()
+                    from video_stitcher_tpu.utils.trace import \
+                        stop_device_trace
+                    stop_device_trace()
                     tracing = False
                     log.info("device trace written to %s", cfg.trace_dir)
                 with self._latest_lock:
@@ -197,8 +200,8 @@ class Runner:
                     break
         finally:
             if tracing:
-                import jax
-                jax.profiler.stop_trace()
+                from video_stitcher_tpu.utils.trace import stop_device_trace
+                stop_device_trace()
             self._stop.set()
             self.results.close()
             consumer.join(timeout=10)

@@ -10,6 +10,7 @@ replacement (no mesh mutexes).
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Optional
 
 import jax
@@ -80,7 +81,12 @@ def warp_bands(frames_u8, state: CalibState, geom: StitchGeometry,
         return bands[:, :, :lay.band_h, :lay.band_w]
     else:
         from video_stitcher_tpu.calib.calibration import prewarp_source
-        x = jnp.moveaxis(frames_u8, -1, 1).astype(jnp.float32)   # [N,3,H,W]
+        if frames_u8.ndim == 3:          # NV12 [N, H*3/2, W] input
+            from video_stitcher_tpu.ops.color import nv12_to_rgb_planar
+            x = jax.vmap(lambda f: nv12_to_rgb_planar(f, jnp.float32))(
+                frames_u8)
+        else:
+            x = jnp.moveaxis(frames_u8, -1, 1).astype(jnp.float32)  # [N,3,H,W]
         x = prewarp_source(x, geom)
 
         def one(img, m):
@@ -149,9 +155,12 @@ class Stitcher:
         self.state: Optional[CalibState] = None
         self._step = None
         self._step_out = None
-        self._warp_j = None
         self._out = None
         self._warp_static = None
+        # pairs (program, state) reads/swaps: the stitch thread must never
+        # see a new state with a program jitted for the old strip-plan
+        # statics (or a half-rebuilt step) while a recalibration swaps them
+        self._swap_lock = threading.Lock()
 
     # --- calibration -------------------------------------------------
     def calibrate(self, frames: np.ndarray) -> None:
@@ -174,30 +183,13 @@ class Stitcher:
                 pass
 
     def _build_step(self) -> None:
-        """Build the per-frame step.
-
-        On TPU the step runs as TWO jitted programs (warp | blend+pack):
-        the backend's compiler pessimizes the warp-kernel + pyramid fusion
-        badly when they share one program (measured 1.7 s fused vs ~90 ms
-        chained), and the intermediate bands array stays on device. On CPU
-        (tests) one fused program is better.
-        """
+        """(Re)build the per-frame full-pano and fused-output programs for
+        the current warp statics. Cheap (jit wrappers only; compiles on
+        first call, hitting the persistent XLA cache on re-builds)."""
         geom = self.geom
-        self._step_out = None
-        if self._warp_static is not None:
-            warp_j = jax.jit(functools.partial(
-                warp_bands, geom=geom, warp_static=self._warp_static))
-            blend_j = jax.jit(functools.partial(blend_pack, geom=geom))
-
-            def step(frames, state):
-                return blend_j(warp_j(frames, state), state)
-
-            self._warp_j = warp_j
-            self._step = step
-        else:
-            self._warp_j = None
-            self._step = jax.jit(functools.partial(
-                stitch_pano, geom=geom, warp_static=None))
+        self._step = jax.jit(functools.partial(
+            stitch_pano, geom=geom, warp_static=self._warp_static))
+        self._step_out = None          # rebuilt lazily with the out policy
 
     def _use_strip_warp(self) -> bool:
         cfg = self.cfg
@@ -246,21 +238,19 @@ class Stitcher:
     def stitch(self, frames: np.ndarray, device: bool = False):
         """frames u8 [N, H, W, 3] -> u8 pano. device=True returns the jax
         array without host transfer (for chained device-side consumers)."""
-        pano = self._step(jnp.asarray(frames), self.state)
+        with self._swap_lock:
+            fn, state = self._step, self.state
+        pano = fn(jnp.asarray(frames), state)
         return pano if device else np.asarray(pano)
 
     def stitch_nv12(self, nv12: np.ndarray, device: bool = False):
         """Production ingest fast path: NV12 u8 [N, H*3/2, W] -> u8 pano.
         Converts to planar RGB on-device (half the host->device bytes of
-        RGB, no layout transpose). Falls back through an RGB conversion on
-        the gather path."""
-        nv = jnp.asarray(nv12)
-        if self._warp_static is None:
-            from video_stitcher_tpu.ops.color import nv12_to_rgb
-            rgb = jax.vmap(nv12_to_rgb)(nv).astype(jnp.uint8)
-            pano = self._step(rgb, self.state)
-        else:
-            pano = self._step(nv, self.state)
+        RGB, no layout transpose; the gather fallback converts inside
+        warp_bands)."""
+        with self._swap_lock:
+            fn, state = self._step, self.state
+        pano = fn(jnp.asarray(nv12), state)
         return pano if device else np.asarray(pano)
 
     def _out_size(self):
@@ -279,23 +269,21 @@ class Stitcher:
         blend+resize program). device=True returns the jax array before
         black-bar compositing; otherwise equivalent to
         output(stitch(frames))."""
-        if self._step_out is None:
-            oh, ow = self._out_size()
-            blend_out_j = jax.jit(functools.partial(
-                blend_resize_pack, geom=self.geom, out_h=oh, out_w=ow))
-            if self._warp_j is not None:
-                warp_j = self._warp_j
-
-                def step_out(f, s):
-                    return blend_out_j(warp_j(f, s), s)
-            else:
+        with self._swap_lock:
+            if self._step_out is None:
+                oh, ow = self._out_size()
                 geom = self.geom
+                ws = self._warp_static
 
+                # ONE program per frame (warp kernel + blend + resize +
+                # pack): a single dispatch halves the host->device call
+                # overhead and now compiles as well as the chained pair
                 def step_out(f, s):
-                    return blend_out_j(warp_bands(f, s, geom), s)
-                step_out = jax.jit(step_out)
-            self._step_out = step_out
-        frame = self._step_out(jnp.asarray(frames), self.state)
+                    return blend_resize_pack(warp_bands(f, s, geom, ws), s,
+                                             geom, out_h=oh, out_w=ow)
+                self._step_out = jax.jit(step_out)
+            fn, state = self._step_out, self.state
+        frame = fn(jnp.asarray(frames), state)
         return frame if device else self.finalize_out(frame)
 
     def finalize_out(self, frame):
@@ -335,14 +323,19 @@ class Stitcher:
         prev_static = self._warp_static
         new_state = self._plan_warp(self.state._replace(
             fused_maps=jnp.asarray(fused)))
-        if self._warp_static != prev_static:
-            # window sizes grew: re-jit with the new static shapes
-            self._build_step()
         from video_stitcher_tpu.utils.hostdev import commit
         new_state = commit(new_state)
         if self.cfg.update_masks:
             new_state = self._rebuild_weights(new_state, mesh_maps)
-        self.state = new_state
+        # atomic (program, state) swap: the stitch thread must never pair
+        # the new state (whose strip plan targets the new sh/whc statics)
+        # with a program jitted for the old ones, or call through a
+        # half-rebuilt step
+        with self._swap_lock:
+            if self._warp_static != prev_static:
+                # window sizes grew: re-jit with the new static shapes
+                self._build_step()
+            self.state = new_state
         return True
 
     def _rebuild_weights(self, state: CalibState, mesh_maps) -> CalibState:
@@ -367,12 +360,46 @@ class Stitcher:
         return state._replace(weight_pyr=commit(weight_pyr),
                               valid_mask=commit(valid))
 
-    @staticmethod
-    def interpolate_states(old: CalibState, new: CalibState, t: float) -> CalibState:
+    def swap_state(self, state: CalibState) -> None:
+        """Install a new CalibState atomically wrt the stitch thread."""
+        with self._swap_lock:
+            self.state = state
+
+    def interpolate_states(self, old: CalibState, new: CalibState,
+                           t: float) -> CalibState:
         """Linear blend of the resampling maps between two calibrations
         (RECALIB_INTERP animation, timed.cpp:452-459 / interpolateMesh,
         meshwarper.cpp:337-354). For the small per-recalibration deltas the
-        fused map is affine in the mesh, so lerping maps == lerping meshes."""
+        fused map is affine in the mesh, so lerping maps == lerping meshes.
+
+        On the strip-warp path the kernel samples warp_maps_lane, so that
+        is lerped too (the lane repack is a permutation, so it commutes
+        with the lerp), and the window plan is re-derived to cover BOTH
+        endpoints — valid for every convex mix."""
         t = float(min(max(t, 0.0), 1.0))
         mix = old.fused_maps * (1.0 - t) + new.fused_maps * t
-        return new._replace(fused_maps=mix)
+        out = new._replace(fused_maps=mix)
+        if (new.warp_maps_lane is None or old.warp_maps_lane is None
+                or old.warp_maps_lane.shape != new.warp_maps_lane.shape):
+            return out
+        key = (id(old.warp_maps_lane), id(new.warp_maps_lane))
+        if getattr(self, "_interp_plan", (None,))[0] != key:
+            from video_stitcher_tpu.ops.remap_strips import plan_strips
+            geom = self.geom
+            warp_w = ((geom.warp_src_w + 127) // 128) * 128
+            prev = self._warp_static or (0, 0)
+            plan = plan_strips(np.asarray(old.fused_maps),
+                               geom.warp_src_h, warp_w,
+                               min_sh=prev[0], min_whc=prev[1],
+                               maps_b=np.asarray(new.fused_maps))
+            with self._swap_lock:
+                if (plan.sh, plan.whc) != self._warp_static:
+                    self._warp_static = (plan.sh, plan.whc)
+                    self._build_step()
+            self._interp_plan = (key, jnp.asarray(plan.strip_off),
+                                 jnp.asarray(plan.chunk_packed))
+        _, so, cp = self._interp_plan
+        return out._replace(
+            warp_maps_lane=(old.warp_maps_lane * (1.0 - t)
+                            + new.warp_maps_lane * t),
+            warp_strip_off=so, warp_chunk_packed=cp)

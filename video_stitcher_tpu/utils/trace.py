@@ -7,6 +7,16 @@ from __future__ import annotations
 import contextlib
 
 
+def start_device_trace(trace_dir: str) -> None:
+    import jax
+    jax.profiler.start_trace(trace_dir)
+
+
+def stop_device_trace() -> None:
+    import jax
+    jax.profiler.stop_trace()
+
+
 @contextlib.contextmanager
 def device_trace(trace_dir: str | None):
     """Capture a jax.profiler trace (TensorBoard/Perfetto readable) of the
