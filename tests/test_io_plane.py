@@ -125,3 +125,84 @@ def test_synthetic_source_and_runner_smoke():
     r = Runner(cfg, max_frames=3)
     r.run()
     assert r.frames_done == 3
+
+
+def test_live_pipeline_network_to_network(tmp_path, monkeypatch):
+    """BASELINE config 5 end-to-end on loopback: fake capture boards stream
+    NV12 over TCP -> Runner (ingest, stitch, recalib off) -> MJPEG frames
+    over TCP to a fake player (timed.cpp's full deployment loop)."""
+    import math
+    from video_stitcher_tpu.pipeline.runner import Runner
+
+    monkeypatch.chdir(tmp_path)          # runner writes calib/result.jpg
+    cap_port, play_port = 16672, 15562
+    cfg = StitcherConfig(num_images=2, input_width=64, input_height=48,
+                         capture_img_width=64, capture_img_height=48,
+                         capture_tcp_port=cap_port, use_stream=True,
+                         yaws=(0.0, math.pi / 3), wrap_around=False,
+                         player_address="127.0.0.1",
+                         player_tcp_port=play_port, send_results=True,
+                         enable_local=False, recalibrate=False,
+                         output_width=128, output_height=64)
+
+    received = {"frames": []}
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", play_port))
+    server.listen(1)
+
+    def player():
+        conn, _ = server.accept()
+
+        def read_n(n):
+            buf = b""
+            while len(buf) < n:
+                chunk = conn.recv(n - len(buf))
+                if not chunk:
+                    raise EOFError
+                buf += chunk
+            return buf
+
+        try:
+            received["height"] = struct.unpack("<i", read_n(4))[0]
+            for _ in range(2):
+                ln = struct.unpack("<I", read_n(4))[0]
+                received["frames"].append(read_n(ln))
+        except EOFError:
+            pass
+        conn.close()
+
+    player_t = threading.Thread(target=player, daemon=True)
+    player_t.start()
+
+    runner = Runner(cfg, max_frames=2)
+    runner_t = threading.Thread(target=runner.run, daemon=True)
+    runner_t.start()
+
+    # wait for the capture server, then stream 4 NV12 frames per board
+    # (1 calibration + 2 stitched + slack); sequential connects = ordered
+    # slots under the default accept-order mode
+    rng = np.random.default_rng(3)
+    cams = [[rng.integers(0, 255, (72, 64)).astype(np.uint8)
+             for _ in range(4)] for _ in range(2)]
+    for c in range(2):
+        for attempt in range(50):
+            try:
+                _stream_frames(cap_port, cams[c])
+                break
+            except OSError:
+                time.sleep(0.2)
+        else:
+            raise RuntimeError("capture server never came up")
+
+    runner_t.join(timeout=180)
+    assert not runner_t.is_alive(), "runner did not finish"
+    player_t.join(timeout=10)
+    assert runner.frames_done == 2
+    assert received.get("height") == 64 or received.get("height", 0) > 0
+    assert len(received["frames"]) == 2
+    import cv2
+    dec = cv2.imdecode(np.frombuffer(received["frames"][0], np.uint8),
+                       cv2.IMREAD_COLOR)
+    assert dec is not None and dec.shape[1] == cfg.output_width
+    assert (tmp_path / "result.jpg").exists()
