@@ -294,11 +294,14 @@ class CPWSolver:
 
     # --- main solve ----------------------------------------------------
     def solve(self, matches: List[Optional[CamMatches]],
-              band_imgs: np.ndarray,
+              band_imgs: Optional[np.ndarray] = None,
               temporal: Optional[List[Optional["TemporalMatches"]]] = None,
+              salience: Optional[np.ndarray] = None,
               ) -> np.ndarray:
         """matches[idx]: CamMatches for (src=idx, dst=idx-1 mod C) or None.
-        band_imgs: f32 [C, 3, bh, bw] (for salience).
+        band_imgs: f32 [C, 3, bh, bw] (for salience), OR pass precomputed
+        salience [C, N-1, M-1, 4] (mesh/pipeline computes it on device so
+        the full band tensor never crosses to the host).
         temporal[idx]: optional same-camera frame-(t-1) matches; only used
         when alphas[3] > 0 and a previous solve exists (defs.h ALPHAS[3]=0
         keeps this off by default, like the reference).
@@ -321,7 +324,8 @@ class CPWSolver:
             else:
                 pts = np.zeros((0, 2))
             self._global_rows(rows, cam, pts, a_global)
-            sal = self._salience(band_imgs[cam])
+            sal = (salience[cam] if salience is not None
+                   else self._salience(band_imgs[cam]))
             self._smooth_rows(rows, cam, sal, a_smooth)
             if (a_temporal > 0.0 and temporal is not None
                     and temporal[cam] is not None

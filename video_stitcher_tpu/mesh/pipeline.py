@@ -64,6 +64,36 @@ _warp_bands_global_jit = jax.jit(_warp_bands_global,
                                  static_argnames=("geom",))
 
 
+@functools.partial(jax.jit, static_argnames=("qn", "qm"))
+def _salience_all(bands, qn: int, qm: int):
+    """Device twin of CPWSolver._salience for the whole camera batch:
+    per-quad, per-half-triangle salience [C, qn, qm, 4] = sqrt(||per-channel
+    variance||_2 + 0.5) (meanStdDev over the triangle, meshwarper.cpp
+    543-564). Keeps the 164 MB band tensor on device — only this tiny grid
+    crosses to the host."""
+    c, ch3, h, w = bands.shape
+    ch = h // qn
+    cw = w // qm
+    img = bands[:, :, :qn * ch, :qm * cw].reshape(c, ch3, qn, ch, qm, cw)
+    yy, xx = np.mgrid[0:ch, 0:cw]
+    fy = (yy + 0.5) / ch
+    fx = (xx + 0.5) / cw
+    masks = jnp.asarray(np.stack([
+        fy <= fx, fy >= fx,
+        fy <= 1 - fx, fy >= 1 - fx,
+    ]).astype(np.float32))                         # [4, ch, cw]
+    cnt = masks.sum(axis=(1, 2))                   # [4]
+    # pre-center by the cell mean so the f32 s2 - mean^2 cancellation
+    # happens among small numbers
+    cell_mean = img.mean(axis=(3, 5), keepdims=True)
+    xc = img - cell_mean
+    s1 = jnp.einsum("ncyhxw,thw->ncyxt", xc, masks)
+    s2 = jnp.einsum("ncyhxw,thw->ncyxt", xc * xc, masks)
+    mean = s1 / cnt
+    var = jnp.maximum(s2 / cnt - mean * mean, 0.0)  # [c, 3, qn, qm, 4]
+    return jnp.sqrt(jnp.sqrt((var ** 2).sum(axis=1)) + 0.5)
+
+
 class MeshPipeline:
     """Holds the jitted feature machinery + CPW solver state across
     recalibrations."""
@@ -106,22 +136,35 @@ class MeshPipeline:
         masks = self.overlap_masks * nonblack
 
         kps = _detect_all(gray, masks)
+        sal_dev = _salience_all(bands, self.solver.N - 1, self.solver.M - 1)
 
-        matches: List[Optional[CamMatches]] = []
+        # queue ALL per-pair device work (match, point gather, RANSAC),
+        # then cross to the host in ONE batched fetch — interleaving
+        # np.asarray with dispatches serializes on the device queue (and on
+        # a tunneled dev box each sync costs seconds)
+        pend = {}
         for idx in range(c):
             dst = (idx - 1) % c
             if dst == c - 1 and not cfg.wrap_around:
-                matches.append(None)
                 continue
             m = self._match(kps.desc[idx], kps.desc[dst],
                             kps.valid[idx], kps.valid[dst], cfg.lowe_ratio)
-            p1 = np.asarray(kps.xy[idx])[np.asarray(m.query)]
-            p2 = np.asarray(kps.xy[dst])[np.asarray(m.train)]
-            ok = np.asarray(m.valid)
+            p1 = jnp.take(kps.xy[idx], m.query, axis=0)
+            p2 = jnp.take(kps.xy[dst], m.train, axis=0)
+            _, inl, _ = self._ransac(p1, p2, m.valid, self._next_key())
+            pend[idx] = (p1, p2, m.valid, inl, m.distance)
+        host = jax.device_get(pend)
+        salience = jax.device_get(sal_dev)
+
+        matches: List[Optional[CamMatches]] = []
+        for idx in range(c):
+            if idx not in host:
+                matches.append(None)
+                continue
+            p1, p2, ok, inl, dist = host[idx]
+            ok = np.asarray(ok, bool)
             if ok.sum() >= 8:
-                _, inl, _ = self._ransac(jnp.asarray(p1), jnp.asarray(p2),
-                                         jnp.asarray(ok), self._next_key())
-                ok = ok & np.asarray(inl)
+                ok = ok & np.asarray(inl, bool)
             # rig sanity filters (meshwarper.cpp:930-941)
             target = self.solver.targets[idx]
             ydiff = np.abs(p1[:, 1] - p2[:, 1])
@@ -131,10 +174,10 @@ class MeshPipeline:
                 matches.append(None)
                 continue
             sel = np.where(ok)[0]
-            dist = np.asarray(m.distance)[sel]
-            order = np.argsort(dist)[:cfg.max_features_per_image]
+            order = np.argsort(dist[sel])[:cfg.max_features_per_image]
             sel = sel[order]
-            matches.append(CamMatches(p1=p1[sel], p2=p2[sel], dst=dst))
+            matches.append(CamMatches(p1=p1[sel], p2=p2[sel],
+                                      dst=(idx - 1) % c))
 
         if all(m is None for m in matches):
             return None
@@ -162,7 +205,8 @@ class MeshPipeline:
                               "valid": np.asarray(kps.valid),
                               "xy": np.asarray(kps.xy)}
 
-        verts = self.solver.solve(matches, np.asarray(bands), temporal)
+        verts = self.solver.solve(matches, temporal=temporal,
+                                  salience=salience)
         maps = mesh_to_backward_maps(jnp.asarray(verts),
                                      geom.layout.band_h, geom.layout.band_w)
         return np.asarray(maps)

@@ -200,14 +200,20 @@ class Stitcher:
                 and self.geom is not None
                 and self.geom.warp_src_w >= 256)
 
-    def _plan_warp(self, state: CalibState) -> CalibState:
+    def _plan_warp(self, state: CalibState,
+                   fused_np: Optional[np.ndarray] = None) -> CalibState:
         """Attach the strip-warp plan (pad maps, window offsets) to the
-        state; chooses the Pallas vs gather path."""
+        state; chooses the Pallas vs gather path. fused_np: host copy of
+        the (new) fused maps, when the caller just composed them — avoids
+        downloading state.fused_maps again."""
         if not self._use_strip_warp():
+            if fused_np is not None:
+                return state._replace(fused_maps=jnp.asarray(fused_np))
             return state
         from video_stitcher_tpu.ops.remap_strips import (
             pad_maps, plan_strips, repack_maps_lane)
-        mp = pad_maps(np.asarray(state.fused_maps))
+        mp = pad_maps(np.asarray(state.fused_maps) if fused_np is None
+                      else fused_np)
         prev = self._warp_static or (0, 0)
         geom = self.geom
         warp_w = ((geom.warp_src_w + 127) // 128) * 128   # lane-padded
@@ -321,8 +327,7 @@ class Stitcher:
             return False
         fused = compose_fused_maps(self.geom, self.aux["band_maps"], mesh_maps)
         prev_static = self._warp_static
-        new_state = self._plan_warp(self.state._replace(
-            fused_maps=jnp.asarray(fused)))
+        new_state = self._plan_warp(self.state, fused_np=fused)
         from video_stitcher_tpu.utils.hostdev import commit
         new_state = commit(new_state)
         if self.cfg.update_masks:

@@ -41,9 +41,21 @@ def commit(tree):
     """
     import numpy as np
 
+    default = jax.devices()[0]
+
     def leaf(x):
         if x is None:
             return None
+        # leaves already living on the default device (e.g. unchanged
+        # state between mesh recalibrations, or arrays produced by jitted
+        # device code) stay put — re-roundtripping them through host
+        # numpy is pure transfer cost
+        if isinstance(x, jax.Array):
+            try:
+                if default in x.devices():
+                    return x
+            except Exception:
+                pass
         return jax.device_put(np.asarray(x))
 
     return jax.tree_util.tree_map(leaf, tree)
