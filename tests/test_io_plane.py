@@ -199,7 +199,7 @@ def test_live_pipeline_network_to_network(tmp_path, monkeypatch):
     assert not runner_t.is_alive(), "runner did not finish"
     player_t.join(timeout=10)
     assert runner.frames_done == 2
-    assert received.get("height") == 64 or received.get("height", 0) > 0
+    assert received.get("height") == 64
     assert len(received["frames"]) == 2
     import cv2
     dec = cv2.imdecode(np.frombuffer(received["frames"][0], np.uint8),

@@ -306,6 +306,8 @@ class CPWSolver:
         when alphas[3] > 0 and a previous solve exists (defs.h ALPHAS[3]=0
         keeps this off by default, like the reference).
         Returns warped vertex positions f32 [C, N, M, 2] (x, y)."""
+        if band_imgs is None and salience is None:
+            raise ValueError("solve() needs band_imgs or salience")
         a_local = math.sqrt(self.alphas[0])
         a_global = math.sqrt(self.alphas[1])
         a_smooth = math.sqrt(self.alphas[2])

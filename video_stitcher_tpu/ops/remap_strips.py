@@ -146,7 +146,10 @@ def plan_strips(maps: np.ndarray, src_h: int, src_w: int,
 
     maps_b: optional second endpoint — the plan then covers BOTH maps and,
     by convexity of per-chunk tap intervals, every linear interpolation
-    between them (the RECALIB_INTERP mesh animation, timed.cpp:452-459).
+    between them (the RECALIB_INTERP mesh animation, timed.cpp:452-459)
+    for samples valid at both endpoints; samples whose validity flips
+    between the maps (band edges, ~0 blend weight) may lerp outside the
+    window and render 0 transiently.
     """
     n, _, bh, bw = maps.shape
     assert bh % ROW_BLOCK == 0 and bw % 128 == 0

@@ -174,12 +174,13 @@ class Runner:
                 if frames is None:
                     log.info("source exhausted")
                     break
-                if cfg.trace_dir and not tracing and self.frames_done == 0:
+                if (cfg.trace_dir and not tracing
+                        and self.frames_done == 1):   # skip the compile frame
                     from video_stitcher_tpu.utils.trace import \
                         start_device_trace
                     start_device_trace(cfg.trace_dir)
                     tracing = True
-                elif tracing and self.frames_done >= cfg.trace_frames:
+                elif tracing and self.frames_done >= cfg.trace_frames + 1:
                     from video_stitcher_tpu.utils.trace import \
                         stop_device_trace
                     stop_device_trace()

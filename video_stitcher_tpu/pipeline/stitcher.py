@@ -380,15 +380,23 @@ class Stitcher:
         On the strip-warp path the kernel samples warp_maps_lane, so that
         is lerped too (the lane repack is a permutation, so it commutes
         with the lerp), and the window plan is re-derived to cover BOTH
-        endpoints — valid for every convex mix."""
+        endpoints — valid for every convex mix of samples that are valid
+        at both; samples whose validity flips between the meshes (band
+        edges, ~0 blend weight) may transiently render 0. If covering both
+        endpoints would need larger static window sizes than the current
+        programs were jitted for, the animation is skipped (output snaps
+        to the new mesh) rather than re-jitting mid-animation."""
         t = float(min(max(t, 0.0), 1.0))
         mix = old.fused_maps * (1.0 - t) + new.fused_maps * t
         out = new._replace(fused_maps=mix)
         if (new.warp_maps_lane is None or old.warp_maps_lane is None
                 or old.warp_maps_lane.shape != new.warp_maps_lane.shape):
             return out
-        key = (id(old.warp_maps_lane), id(new.warp_maps_lane))
-        if getattr(self, "_interp_plan", (None,))[0] != key:
+        cache = getattr(self, "_interp_plan", None)
+        # cache holds strong refs to the keyed arrays, so an `is` match
+        # can't be an id-recycling false positive
+        if (cache is None or cache[0] is not old.warp_maps_lane
+                or cache[1] is not new.warp_maps_lane):
             from video_stitcher_tpu.ops.remap_strips import plan_strips
             geom = self.geom
             warp_w = ((geom.warp_src_w + 127) // 128) * 128
@@ -397,13 +405,16 @@ class Stitcher:
                                geom.warp_src_h, warp_w,
                                min_sh=prev[0], min_whc=prev[1],
                                maps_b=np.asarray(new.fused_maps))
-            with self._swap_lock:
-                if (plan.sh, plan.whc) != self._warp_static:
-                    self._warp_static = (plan.sh, plan.whc)
-                    self._build_step()
-            self._interp_plan = (key, jnp.asarray(plan.strip_off),
-                                 jnp.asarray(plan.chunk_packed))
-        _, so, cp = self._interp_plan
+            if (plan.sh, plan.whc) == self._warp_static:
+                so, cp = jnp.asarray(plan.strip_off), jnp.asarray(
+                    plan.chunk_packed)
+            else:
+                so = cp = None
+            cache = (old.warp_maps_lane, new.warp_maps_lane, so, cp)
+            self._interp_plan = cache
+        so, cp = cache[2], cache[3]
+        if so is None:
+            return out            # union plan needs bigger statics: snap
         return out._replace(
             warp_maps_lane=(old.warp_maps_lane * (1.0 - t)
                             + new.warp_maps_lane * t),
