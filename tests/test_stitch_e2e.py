@@ -384,3 +384,29 @@ def test_interpolate_states_strip_path(monkeypatch):
             jnp.asarray(frames), mixed))
     diff = np.abs(pano_strip.astype(np.int32) - gold.astype(np.int32))
     assert diff.max() <= 3, f"interp strip vs gather max diff {diff.max()}"
+
+
+def test_calibration_roundtrip_strip_path(tmp_path, monkeypatch):
+    """Save/load must reproduce the stitch exactly on the production strip
+    path too (the plan is re-derived from the saved padded maps)."""
+    import functools
+    import video_stitcher_tpu.ops.remap_strips as rsmod
+
+    monkeypatch.setattr(Stitcher, "_use_strip_warp", lambda self: True)
+    monkeypatch.setattr(rsmod, "remap_strips",
+                        functools.partial(rsmod.remap_strips, interpret=True))
+    cfg = StitcherConfig(**SMALL)
+    geom, _ = plan_geometry(cfg)
+    rng = np.random.default_rng(23)
+    scene = make_scene(geom.layout.pano_w, geom.layout.pano_h, rng)
+    frames = render_views(cfg, geom, scene)
+    st = Stitcher(cfg)
+    st.calibrate(frames)
+    pano = st.stitch(frames)
+    path = str(tmp_path / "calib.npz")
+    st.save_calibration(path)
+    st2 = Stitcher(cfg)
+    st2.load_calibration(path)
+    assert st2._warp_static == st._warp_static
+    np.testing.assert_array_equal(np.asarray(pano),
+                                  np.asarray(st2.stitch(frames)))
