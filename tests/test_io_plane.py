@@ -135,7 +135,15 @@ def test_live_pipeline_network_to_network(tmp_path, monkeypatch):
     from video_stitcher_tpu.pipeline.runner import Runner
 
     monkeypatch.chdir(tmp_path)          # runner writes calib/result.jpg
-    cap_port, play_port = 16672, 15562
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        return port
+
+    cap_port, play_port = free_port(), free_port()
     cfg = StitcherConfig(num_images=2, input_width=64, input_height=48,
                          capture_img_width=64, capture_img_height=48,
                          capture_tcp_port=cap_port, use_stream=True,

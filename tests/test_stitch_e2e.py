@@ -368,7 +368,7 @@ def test_interpolate_states_strip_path(monkeypatch):
     # a "new mesh": shift every valid map coordinate down-right a little
     mp = np.asarray(old.fused_maps)
     shifted = np.where(mp > -1, mp + 1.5, mp).astype(np.float32)
-    new = st._plan_warp(old._replace(fused_maps=jnp.asarray(shifted)))
+    new, _ = st._plan_warp(old._replace(fused_maps=jnp.asarray(shifted)))
 
     mixed = st.interpolate_states(old, new, 0.5)
     assert mixed.warp_maps_lane is not None

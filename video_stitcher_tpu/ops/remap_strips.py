@@ -135,8 +135,8 @@ def _chunk_stats(maps: np.ndarray, src_h: int, src_w: int):
 
 def plan_strips(maps: np.ndarray, src_h: int, src_w: int,
                 row_slack: int = 8, min_sh: int = 0,
-                min_whc: int = 0, maps_b: np.ndarray | None = None
-                ) -> StripPlan:
+                min_whc: int = 0, maps_b: np.ndarray | None = None,
+                channels: int = 3) -> StripPlan:
     """Precompute strip/chunk offsets for padded maps [N, 2, bh_p, bw_p].
 
     The x window is a fixed 128 lanes; the plan asserts per-chunk x spans
@@ -205,7 +205,7 @@ def plan_strips(maps: np.ndarray, src_h: int, src_w: int,
     rb_lo8 = (rb_lo // 8) * 8
     sh = int((rb_hi - rb_lo8 + 1).max()) + row_slack
     sh = min(_round_up(max(sh, whc, min_sh, ROW_ALIGN), ROW_ALIGN), src_hp)
-    if 2 * 3 * src_hp * src_wp * 2 <= FULL_SRC_BYTES:
+    if 2 * channels * src_hp * src_wp * 2 <= FULL_SRC_BYTES:
         sh = src_hp                     # resident-source mode (see kernel)
 
     strip_off = np.minimum(rb_lo8, src_hp - sh).astype(np.int32)

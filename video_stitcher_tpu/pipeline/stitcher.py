@@ -27,6 +27,16 @@ from video_stitcher_tpu.ops.remap import remap_planar
 from video_stitcher_tpu.ops.resize import resize_planar
 
 
+def _frames_to_planar_f32(frames_u8):
+    """u8 RGB [N, H, W, 3] or NV12 [N, H*3/2, W] -> planar f32 [N, 3, H, W].
+    Single conversion point shared by the strip and gather warp paths."""
+    if frames_u8.ndim == 3:              # NV12 input
+        from video_stitcher_tpu.ops.color import nv12_to_rgb_planar
+        return jax.vmap(lambda f: nv12_to_rgb_planar(f, jnp.float32))(
+            frames_u8)
+    return jnp.moveaxis(frames_u8, -1, 1).astype(jnp.float32)
+
+
 def _prep_strip_source(frames_u8, geom: StitchGeometry):
     """u8 RGB [N, H, W, 3] or NV12 [N, H*3/2, W] -> bf16 planar warp source
     [N, 3, Hp, Wp] (rows padded to the sublane tile, lanes to 128).
@@ -36,23 +46,14 @@ def _prep_strip_source(frames_u8, geom: StitchGeometry):
     samples at ~unit stride.
     """
     from video_stitcher_tpu.ops.remap_strips import (
-        ROW_ALIGN, prep_source, prep_source_nv12)
-
-    def _round_up(x, m):
-        return ((x + m - 1) // m) * m
+        ROW_ALIGN, _round_up, prep_source, prep_source_nv12)
 
     if not geom.prewarp:
         src = (prep_source_nv12(frames_u8) if frames_u8.ndim == 3
                else prep_source(frames_u8))
     else:
         from video_stitcher_tpu.calib.calibration import prewarp_source
-        if frames_u8.ndim == 3:
-            from video_stitcher_tpu.ops.color import nv12_to_rgb_planar
-            x = jax.vmap(lambda f: nv12_to_rgb_planar(f, jnp.float32))(
-                frames_u8)
-        else:
-            x = jnp.moveaxis(frames_u8, -1, 1).astype(jnp.float32)
-        x = prewarp_source(x, geom)
+        x = prewarp_source(_frames_to_planar_f32(frames_u8), geom)
         hp = _round_up(x.shape[2], ROW_ALIGN)
         src = jnp.pad(x, ((0, 0), (0, 0), (0, hp - x.shape[2]), (0, 0))
                       ).astype(jnp.bfloat16)
@@ -81,13 +82,7 @@ def warp_bands(frames_u8, state: CalibState, geom: StitchGeometry,
         return bands[:, :, :lay.band_h, :lay.band_w]
     else:
         from video_stitcher_tpu.calib.calibration import prewarp_source
-        if frames_u8.ndim == 3:          # NV12 [N, H*3/2, W] input
-            from video_stitcher_tpu.ops.color import nv12_to_rgb_planar
-            x = jax.vmap(lambda f: nv12_to_rgb_planar(f, jnp.float32))(
-                frames_u8)
-        else:
-            x = jnp.moveaxis(frames_u8, -1, 1).astype(jnp.float32)  # [N,3,H,W]
-        x = prewarp_source(x, geom)
+        x = prewarp_source(_frames_to_planar_f32(frames_u8), geom)
 
         def one(img, m):
             return remap_planar(img, m[0], m[1], border="constant")
@@ -168,7 +163,7 @@ class Stitcher:
         self.geom = geom
         self.aux = aux
         self._warp_static = None
-        state = self._plan_warp(state)
+        state, self._warp_static = self._plan_warp(state)
         # state is produced on the host backend; commit it to the default
         # (TPU) device ONCE so the per-frame jit never re-transfers it
         # (via host numpy — see utils.hostdev.commit)
@@ -201,15 +196,20 @@ class Stitcher:
                 and self.geom.warp_src_w >= 256)
 
     def _plan_warp(self, state: CalibState,
-                   fused_np: Optional[np.ndarray] = None) -> CalibState:
+                   fused_np: Optional[np.ndarray] = None):
         """Attach the strip-warp plan (pad maps, window offsets) to the
         state; chooses the Pallas vs gather path. fused_np: host copy of
         the (new) fused maps, when the caller just composed them — avoids
-        downloading state.fused_maps again."""
+        downloading state.fused_maps again.
+
+        Returns (state, warp_static). Does NOT publish self._warp_static —
+        the caller installs it together with the state (under _swap_lock
+        when a stitch thread may be live) so a lazily-built program can
+        never pair new statics with an old state's plan."""
         if not self._use_strip_warp():
             if fused_np is not None:
-                return state._replace(fused_maps=jnp.asarray(fused_np))
-            return state
+                return state._replace(fused_maps=jnp.asarray(fused_np)), None
+            return state, None
         from video_stitcher_tpu.ops.remap_strips import (
             pad_maps, plan_strips, repack_maps_lane)
         mp = pad_maps(np.asarray(state.fused_maps) if fused_np is None
@@ -220,13 +220,17 @@ class Stitcher:
         # min sizes keep the jitted shapes stable across mesh recalibrations
         plan = plan_strips(mp, geom.warp_src_h, warp_w,
                            min_sh=prev[0], min_whc=prev[1])
-        self._warp_static = (plan.sh, plan.whc)
         mpj = jnp.asarray(mp)
-        return state._replace(
+        state = state._replace(
             fused_maps=mpj,
             warp_strip_off=jnp.asarray(plan.strip_off),
             warp_chunk_packed=jnp.asarray(plan.chunk_packed),
             warp_maps_lane=repack_maps_lane(mpj))
+        # rotate host copies of the padded maps so interpolate_states can
+        # build its union plan without downloading them back from device
+        self._host_maps_prev = getattr(self, "_host_maps_for", None)
+        self._host_maps_for = (state.warp_maps_lane, mp)
+        return state, (plan.sh, plan.whc)
 
     def save_calibration(self, path: str) -> None:
         save_state(path, self.state)
@@ -236,7 +240,7 @@ class Stitcher:
             self.geom, _ = plan_geometry(self.cfg)
         from video_stitcher_tpu.utils.hostdev import commit
         self._warp_static = None
-        state = self._plan_warp(load_state(path))
+        state, self._warp_static = self._plan_warp(load_state(path))
         self.state = commit(state)
         self._build_step()
 
@@ -326,19 +330,19 @@ class Stitcher:
         if mesh_maps is None:
             return False
         fused = compose_fused_maps(self.geom, self.aux["band_maps"], mesh_maps)
-        prev_static = self._warp_static
-        new_state = self._plan_warp(self.state, fused_np=fused)
+        new_state, new_static = self._plan_warp(self.state, fused_np=fused)
         from video_stitcher_tpu.utils.hostdev import commit
         new_state = commit(new_state)
         if self.cfg.update_masks:
             new_state = self._rebuild_weights(new_state, mesh_maps)
-        # atomic (program, state) swap: the stitch thread must never pair
-        # the new state (whose strip plan targets the new sh/whc statics)
-        # with a program jitted for the old ones, or call through a
-        # half-rebuilt step
+        # atomic (statics, program, state) swap: the stitch thread must
+        # never pair the new state (whose strip plan targets the new
+        # sh/whc statics) with a program jitted for the old ones, or call
+        # through a half-rebuilt step
         with self._swap_lock:
-            if self._warp_static != prev_static:
+            if new_static != self._warp_static:
                 # window sizes grew: re-jit with the new static shapes
+                self._warp_static = new_static
                 self._build_step()
             self.state = new_state
         return True
@@ -401,15 +405,29 @@ class Stitcher:
             geom = self.geom
             warp_w = ((geom.warp_src_w + 127) // 128) * 128
             prev = self._warp_static or (0, 0)
-            plan = plan_strips(np.asarray(old.fused_maps),
-                               geom.warp_src_h, warp_w,
-                               min_sh=prev[0], min_whc=prev[1],
-                               maps_b=np.asarray(new.fused_maps))
-            if (plan.sh, plan.whc) == self._warp_static:
-                so, cp = jnp.asarray(plan.strip_off), jnp.asarray(
-                    plan.chunk_packed)
-            else:
-                so = cp = None
+
+            def host_maps(wml, fused):
+                # padded host copies rotated by _plan_warp — avoids
+                # pulling the ~50 MB map tensors back off the device
+                for attr in ("_host_maps_for", "_host_maps_prev"):
+                    pair = getattr(self, attr, None)
+                    if pair is not None and pair[0] is wml:
+                        return pair[1]
+                return np.asarray(fused)
+
+            so = cp = None
+            try:
+                plan = plan_strips(host_maps(old.warp_maps_lane,
+                                             old.fused_maps),
+                                   geom.warp_src_h, warp_w,
+                                   min_sh=prev[0], min_whc=prev[1],
+                                   maps_b=host_maps(new.warp_maps_lane,
+                                                    new.fused_maps))
+                if (plan.sh, plan.whc) == self._warp_static:
+                    so = jnp.asarray(plan.strip_off)
+                    cp = jnp.asarray(plan.chunk_packed)
+            except (ValueError, AssertionError):
+                pass            # union plan infeasible: snap below
             cache = (old.warp_maps_lane, new.warp_maps_lane, so, cp)
             self._interp_plan = cache
         so, cp = cache[2], cache[3]
