@@ -65,7 +65,7 @@ def test_remap_strips_strip_mode_odd_nrb(rng, monkeypatch):
     global grid step, or the prefetch chain breaks at camera boundaries
     (regression test for the rb-parity bug)."""
     import video_stitcher_tpu.ops.remap_strips as rs
-    monkeypatch.setattr(rs, "FULL_SRC_BYTES", 0)   # force strip mode
+    monkeypatch.setattr(rs, "resident_src_budget", lambda: 0)  # force strip mode
 
     src_h, src_w = 128, 256
     bh, bw = 3 * ROW_BLOCK, 128                    # nrb = 3 (odd)

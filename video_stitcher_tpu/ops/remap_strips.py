@@ -70,11 +70,37 @@ PX = ROW_BLOCK * CHUNK_W  # out px per chunk (one [1, 256] lane row)
 SLAB_W = 256           # lane width of the rotated source slab
 WIN_W = 128            # lane width of the in-register window
 ROW_ALIGN = 16         # window row starts aligned to the bf16 sublane tile
-# when the double-buffered FULL per-camera source fits this budget, the plan
-# sets sh = src_hp and the kernel DMAs each camera once (resident-source
-# mode) instead of one overlapping strip per row-block — ~10x less HBM
-# traffic on the 1080p rig (1.48 GB -> 0.15 GB per frame)
-FULL_SRC_BYTES = 56 << 20
+# when the double-buffered FULL per-camera source fits the resident budget,
+# the plan sets sh = src_hp and the kernel DMAs each camera once
+# (resident-source mode) instead of one overlapping strip per row-block —
+# ~10x less HBM traffic on the 1080p rig (1.48 GB -> 0.15 GB per frame).
+# The budget is derived from the device generation's VMEM size (there is no
+# query API): the plan falls back to strip mode when the source doesn't
+# fit, so a wrong guess costs bandwidth, not a compile failure.
+_VMEM_LARGE = 128 << 20      # v5e / v5p / v6e cores
+_VMEM_SMALL = 16 << 20       # v2/v3/unknown (pallas_guide.md: ~16 MB/core)
+
+
+@functools.lru_cache(maxsize=1)
+def device_vmem_bytes() -> int:
+    """Per-core VMEM size guess for the first visible device."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        kind = ""
+    large = any(t in kind for t in ("v5 lite", "v5e", "v5p", "v6 lite",
+                                    "v6e", "v6p", "v7"))
+    return _VMEM_LARGE if large else _VMEM_SMALL
+
+
+def resident_src_budget() -> int:
+    """Max bytes for the double-buffered resident-source VMEM scratch."""
+    import os
+    env = os.environ.get("VST_RESIDENT_SRC_BYTES")
+    if env:
+        return int(env)
+    # leave ~half the VMEM for blocks, weights and compiler temporaries
+    return (device_vmem_bytes() * 7) // 16
 
 
 def _round_up(x: int, m: int) -> int:
@@ -205,7 +231,7 @@ def plan_strips(maps: np.ndarray, src_h: int, src_w: int,
     rb_lo8 = (rb_lo // 8) * 8
     sh = int((rb_hi - rb_lo8 + 1).max()) + row_slack
     sh = min(_round_up(max(sh, whc, min_sh, ROW_ALIGN), ROW_ALIGN), src_hp)
-    if 2 * channels * src_hp * src_wp * 2 <= FULL_SRC_BYTES:
+    if 2 * channels * src_hp * src_wp * 2 <= resident_src_budget():
         sh = src_hp                     # resident-source mode (see kernel)
 
     strip_off = np.minimum(rb_lo8, src_hp - sh).astype(np.int32)
@@ -486,9 +512,11 @@ def remap_strips(src_planar, maps_lane, strip_off, chunk_packed, *,
                                n_cam=n, n_rb=nrb)
     # the double-buffered strip scratch alone can exceed Mosaic's default
     # 16 MB scoped-vmem limit at 4K+ sources (2*C*sh*W bf16); size the
-    # limit to the actual allocation plus headroom for blocks/registers
+    # limit to the actual allocation plus headroom for blocks/registers,
+    # capped at the device generation's VMEM (see resident_src_budget)
     strip_bytes = 2 * ch * sh * wp * 2
-    vmem_limit = min(112 * 1024 * 1024, strip_bytes + 24 * 1024 * 1024)
+    vmem_cap = max(device_vmem_bytes() - (16 << 20), 12 << 20)
+    vmem_limit = min(vmem_cap, strip_bytes + 24 * 1024 * 1024)
     fn = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
