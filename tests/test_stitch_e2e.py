@@ -372,10 +372,14 @@ def test_interpolate_states_strip_path(monkeypatch):
 
     mixed = st.interpolate_states(old, new, 0.5)
     assert mixed.warp_maps_lane is not None
+    # lerp where both endpoints are valid (> -1); coordinates that are
+    # invalid/out-of-window at either endpoint pin to the -1 sentinel
+    # instead of lerping through it
+    o = np.asarray(old.warp_maps_lane)
+    n = np.asarray(new.warp_maps_lane)
     np.testing.assert_allclose(
         np.asarray(mixed.warp_maps_lane),
-        0.5 * np.asarray(old.warp_maps_lane)
-        + 0.5 * np.asarray(new.warp_maps_lane), atol=1e-5)
+        np.where(np.minimum(o, n) > -1, 0.5 * o + 0.5 * n, -1.0), atol=1e-5)
 
     st.swap_state(mixed)
     pano_strip = st.stitch(frames)

@@ -98,7 +98,9 @@ def main():
     gray = (bands[:, 0] * 0.299 + bands[:, 1] * 0.587 + bands[:, 2] * 0.114)
     nonblack = (jnp.max(bands, axis=1) > 0).astype(jnp.float32)
     masks = pipe.overlap_masks * nonblack
-    kps = mp._detect_all(gray, masks)
+    kps = mp._detect_all(gray, masks, max_kp=cfg.orb_num_features,
+                         num_levels=cfg.orb_num_levels,
+                         scale_factor=cfg.orb_scale_factor)
     _sync(kps.desc)
     t = tick("gray+detect", t)
 
@@ -147,26 +149,31 @@ def main():
     _sync(maps_dev)
     t = tick("mesh_to_backward_maps", t)
 
-    mesh_maps = np.asarray(maps_dev)
-    t = tick("download_mesh_maps", t)
-
-    fused = compose_fused_maps(geom, st.aux["band_maps"], mesh_maps)
-    t = tick("compose_fused_maps_host", t)
+    # device-resident compose + plan (the round-2 fast path: no map
+    # download / host compose / re-upload)
+    from video_stitcher_tpu.calib.calibration import compose_fused_maps_device
+    if getattr(st, "_band_maps_dev", None) is None:
+        st._band_maps_dev = jax.device_put(st.aux["band_maps"])
+    fused_dev = compose_fused_maps_device(st._band_maps_dev, maps_dev,
+                                          geom=geom)
+    _sync(fused_dev)
+    t = tick("compose_fused_maps_device", t)
 
     from video_stitcher_tpu.ops.remap_strips import (
-        pad_maps, plan_strips, repack_maps_lane)
-    mpad = pad_maps(fused)
-    t = tick("pad_maps_host", t)
+        chunk_stats_device, pad_maps_device, plan_strips_from_stats,
+        repack_maps_lane)
+    mpj = pad_maps_device(fused_dev)
+    stats = jax.device_get(chunk_stats_device(mpj, geom.warp_src_h,
+                                              ((geom.warp_src_w + 127)
+                                               // 128) * 128))
+    t = tick("chunk_stats_fetch", t)
 
     prev = st._warp_static or (0, 0)
     warp_w = ((geom.warp_src_w + 127) // 128) * 128
-    plan = plan_strips(mpad, geom.warp_src_h, warp_w,
-                       min_sh=prev[0], min_whc=prev[1])
+    plan = plan_strips_from_stats(stats, tuple(mpj.shape[2:]),
+                                  geom.warp_src_h, warp_w,
+                                  min_sh=prev[0], min_whc=prev[1])
     t = tick("plan_strips_host", t)
-
-    mpj = jnp.asarray(mpad)
-    _sync(mpj)
-    t = tick("upload_padded_maps", t)
 
     lane = repack_maps_lane(mpj)
     _sync(lane)
@@ -179,7 +186,7 @@ def main():
 
     print(json.dumps({"warm_e2e_s": round(warm_s, 2), "phases": ph,
                       "synced_total_s": round(sum(ph.values()), 2),
-                      "maps_mb": round(mpad.nbytes / 1e6, 1),
+                      "maps_mb": round((mpj.size * 4) / 1e6, 1),
                       "device": str(jax.devices()[0])}), flush=True)
 
 

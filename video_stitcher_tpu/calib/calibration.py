@@ -17,11 +17,13 @@ geometry and takes the CalibState pytree.
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from video_stitcher_tpu.config import StitcherConfig
@@ -49,7 +51,6 @@ class StitchGeometry:
     compose_h: int
     compose_scale: float
     work_scale: float
-    focal_work: float          # CPW local term uses f at work scale (meshwarper.cpp:599)
     num_bands: int
     blend_type: str
     #: pyramid matmul precision for the per-frame blend ("highest" |
@@ -106,7 +107,7 @@ def plan_geometry(cfg: StitcherConfig) -> Tuple[StitchGeometry, List[CameraParam
         src_w=cfg.input_width, src_h=cfg.input_height,
         compose_w=cw, compose_h=ch,
         compose_scale=cw / cfg.input_width,
-        work_scale=cfg.work_scale, focal_work=cams_work[0].focal,
+        work_scale=cfg.work_scale,
         num_bands=layout.num_bands, blend_type=cfg.blend_type,
         blend_precision=("default" if cfg.blend_dtype == "bfloat16"
                          else "highest"),
@@ -296,6 +297,23 @@ def _compose_fused_maps_impl(geom, band_maps, mesh_maps=None):
     elif abs(s - 1.0) > 1e-1:                # timed.cpp:75 resize condition
         maps = (maps + 0.5) / s - 0.5
     return maps.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("geom",))
+def compose_fused_maps_device(band_maps, mesh_maps, geom: StitchGeometry):
+    """Device twin of compose_fused_maps for the recalibration hot path:
+    the ~100 MB fused map tensor is composed, and stays, on the TPU —
+    recalibration never downloads or re-uploads it (the host only sees the
+    tiny ChunkStats reductions; see ops/remap_strips.plan_strips_from_stats).
+    band_maps [N, 2, bh, bw] (resident device copy), mesh_maps ditto."""
+    def one(bm, mm):
+        return remap_planar(bm, mm[0], mm[1], border="replicate")
+
+    maps = jax.vmap(one)(band_maps, mesh_maps)
+    s = geom.compose_scale
+    if not geom.prewarp and abs(s - 1.0) > 1e-1:   # timed.cpp:75 condition
+        maps = (maps + 0.5) / s - 0.5
+    return maps
 
 
 def prewarp_source(x, geom: StitchGeometry):

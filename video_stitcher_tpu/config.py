@@ -45,12 +45,16 @@ class StitcherConfig:
     #: "multiband" | "feather" | "none"
     blend_type: str = "multiband"
 
-    # --- features / matching (defs.h:54,60-61) ---
-    match_conf: float = 0.5
+    # --- features / matching (defs.h:60-61) ---
+    #: (defs.h:54 MATCH_CONF is intentionally absent: the reference never
+    #: reads it — featurefinder.cpp:108 force-sets confidence = 1. The knn
+    #: ratio test is lowe_ratio below. Likewise the reference's hardcoded
+    #: +-400 px overlap bands, meshwarper.cpp:89, are replaced by exact
+    #: >=2-camera coverage masks, calib/calibration.py.)
     max_features_per_image: int = 100
-    orb_num_features: int = 2500          # 360_stitcher/featurefinder.cpp:15
-    orb_scale_factor: float = 1.2
-    orb_num_levels: int = 8
+    orb_num_features: int = 512           # see mesh/pipeline.py note; ref
+    orb_scale_factor: float = 1.2         # uses 2500/1.2/8 (featurefinder
+    orb_num_levels: int = 4               # .cpp:15)
     lowe_ratio: float = 0.7               # 360_stitcher/featurefinder.cpp:65
 
     # --- CPW mesh (defs.h:65-71) ---
@@ -59,7 +63,6 @@ class StitcherConfig:
     #: [local, global, smoothness, temporal] cost weights (defs.h:69).
     alphas: Tuple[float, float, float, float] = (1.0, 0.01, 0.00005, 0.0)
     global_dist: int = 30
-    overlap_px: int = 400                 # 360_stitcher/meshwarper.cpp:89
     #: Soft-shrink solved mesh displacements by this many px toward the
     #: rest grid (suppresses sub-pixel feature-localization jitter; real
     #: parallax passes through). 0 disables. No reference equivalent.

@@ -5,6 +5,13 @@ Replaces cv::findHomography(..., RANSAC) as used for match filtering
 inlier mask feeds the CPW solver). TPU-native shape: S hypotheses are
 scored in parallel — sample 4 correspondences each, solve the 8x9 DLT by
 batched SVD, count reprojection inliers, keep the best.
+
+Contract: callers may dispatch this unconditionally per camera pair (to
+keep the device queue full; mesh/pipeline.py batches its host fetch), so
+it must tolerate degenerate input — fewer than 8 valid matches, or all
+invalid. The sampling then picks duplicated/clamped points and the
+returned H/inliers are garbage-but-finite; the host side discards the
+result whenever valid.sum() < 8, so garbage never reaches the solver.
 """
 
 from __future__ import annotations

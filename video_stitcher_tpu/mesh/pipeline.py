@@ -20,7 +20,6 @@ from video_stitcher_tpu.mesh.mesh2map import mesh_to_backward_maps
 from video_stitcher_tpu.ops.color import rgb_to_gray
 from video_stitcher_tpu.ops.remap import remap_planar
 
-MAX_KEYPOINTS = 512
 Y_DIFF_MAX = 40.0          # meshwarper.cpp:935
 X_DIST_SLACK = 300.0       # meshwarper.cpp:938
 
@@ -41,11 +40,18 @@ def band_targets(layout) -> List[float]:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("max_kp",))
-def _detect_all(bands_gray, masks, max_kp=MAX_KEYPOINTS):
-    """bands_gray [C, bh, bw], masks [C, bh, bw] -> batched Keypoints."""
+@functools.partial(jax.jit,
+                   static_argnames=("max_kp", "num_levels", "scale_factor"))
+def _detect_all(bands_gray, masks, max_kp=512, num_levels=4,
+                scale_factor=1.2):
+    """bands_gray [C, bh, bw], masks [C, bh, bw] -> batched Keypoints.
+
+    ORB params come from cfg.orb_num_features / orb_num_levels /
+    orb_scale_factor (the reference's cuda::ORB::create args,
+    featurefinder.cpp:15)."""
     return jax.vmap(lambda g, m: detect_and_describe(
-        g, m, max_keypoints=max_kp, num_levels=4))(bands_gray, masks)
+        g, m, max_keypoints=max_kp, num_levels=num_levels,
+        scale_factor=scale_factor))(bands_gray, masks)
 
 
 def _warp_bands_global(frames, global_fused_maps, geom):
@@ -103,7 +109,10 @@ class MeshPipeline:
         lay = geom.layout
         self.geom = geom
         self.cfg = cfg
-        self.global_maps = np.asarray(global_fused_maps)
+        # resident device copy: passing a host array to the jitted warp
+        # re-uploads the ~100 MB global maps on EVERY recalibration (the
+        # single biggest cost of the round-1 Rewarp on the dev tunnel)
+        self.global_maps = jax.device_put(np.asarray(global_fused_maps))
         self.overlap_masks = jnp.asarray(overlap_masks.astype(np.float32))
         self.solver = CPWSolver(
             num_images=geom.num_images, mesh_w=cfg.mesh_width,
@@ -123,8 +132,10 @@ class MeshPipeline:
         self.key, sub = jax.random.split(self.key)
         return sub
 
-    def run(self, frames: np.ndarray) -> Optional[np.ndarray]:
-        """frames u8 [C, H, W, 3] -> mesh backward maps f32 [C, 2, bh, bw]."""
+    def run(self, frames: np.ndarray):
+        """frames u8 [C, H, W, 3] -> mesh backward maps f32 [C, 2, bh, bw]
+        as a DEVICE array (None when no usable matches) — the caller
+        composes them into the fused maps on device."""
         geom = self.geom
         cfg = self.cfg
         c = geom.num_images
@@ -135,7 +146,9 @@ class MeshPipeline:
         nonblack = (jnp.max(bands, axis=1) > 0).astype(jnp.float32)
         masks = self.overlap_masks * nonblack
 
-        kps = _detect_all(gray, masks)
+        kps = _detect_all(gray, masks, max_kp=cfg.orb_num_features,
+                          num_levels=cfg.orb_num_levels,
+                          scale_factor=cfg.orb_scale_factor)
         sal_dev = _salience_all(bands, self.solver.N - 1, self.solver.M - 1)
 
         # queue ALL per-pair device work (match, point gather, RANSAC),
@@ -207,9 +220,8 @@ class MeshPipeline:
 
         verts = self.solver.solve(matches, temporal=temporal,
                                   salience=salience)
-        maps = mesh_to_backward_maps(jnp.asarray(verts),
+        return mesh_to_backward_maps(jnp.asarray(verts),
                                      geom.layout.band_h, geom.layout.band_w)
-        return np.asarray(maps)
 
 
 def solve_mesh_maps(frames, stitcher):

@@ -107,6 +107,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+class ChunkStats(NamedTuple):
+    """Per-chunk tap-coordinate extrema [N, nrb, ncc] — everything the
+    strip planner needs from the (large) map tensors. Computable on device
+    (chunk_stats_device) so recalibration never downloads the ~100 MB maps:
+    only these ~0.5 MB stats cross to the host."""
+    my_min: np.ndarray
+    my_max: np.ndarray
+    mx_min: np.ndarray
+    mx_max: np.ndarray
+
+    def union(self, other: "ChunkStats") -> "ChunkStats":
+        """Cover both endpoints (per-chunk interval hull) — by convexity
+        also covers every linear interpolation between the two maps."""
+        return ChunkStats(my_min=np.minimum(self.my_min, other.my_min),
+                          my_max=np.maximum(self.my_max, other.my_max),
+                          mx_min=np.minimum(self.mx_min, other.mx_min),
+                          mx_max=np.maximum(self.mx_max, other.mx_max))
+
+
 class StripPlan(NamedTuple):
     """Scalar-prefetch arrays + static sizes for remap_strips.
 
@@ -114,7 +133,9 @@ class StripPlan(NamedTuple):
     (window_row//8 | (c128//128)<<8 | dc<<16) packed per chunk — the
     scalar-prefetch arrays live in SMEM (~1 MB), so one word per chunk.
     Static: sh/whc (strip/window heights), src_hp/src_wp (padded source),
-    bh_p/bw_p (padded band).
+    bh_p/bw_p (padded band). stats: the ChunkStats the plan was derived
+    from (callers stash them to later plan interpolation unions without
+    touching the maps again).
     """
     strip_off: np.ndarray
     chunk_packed: np.ndarray
@@ -124,6 +145,7 @@ class StripPlan(NamedTuple):
     src_wp: int
     bh_p: int
     bw_p: int
+    stats: "ChunkStats"
 
 
 def pad_maps(maps: np.ndarray) -> np.ndarray:
@@ -139,8 +161,24 @@ def pad_maps(maps: np.ndarray) -> np.ndarray:
     return out
 
 
-def _chunk_stats(maps: np.ndarray, src_h: int, src_w: int):
-    """Per-chunk min/max of valid map coords + per-chunk emptiness."""
+_STATS_BIG = 1e9
+
+
+@jax.jit
+def pad_maps_device(maps):
+    """Device twin of pad_maps: [N, 2, bh, bw] -> ROW_BLOCK/128-padded
+    with -1 (invalid). Keeps recalibrated maps on device."""
+    n, _, bh, bw = maps.shape
+    ph = _round_up(bh, ROW_BLOCK)
+    pw = _round_up(bw, 128)
+    if ph == bh and pw == bw:
+        return maps
+    return jnp.pad(maps, ((0, 0), (0, 0), (0, ph - bh), (0, pw - bw)),
+                   constant_values=-1.0)
+
+
+def _chunk_stats(maps: np.ndarray, src_h: int, src_w: int) -> ChunkStats:
+    """Per-chunk min/max of valid map coords (empty chunks carry +-big)."""
     n, _, bh, bw = maps.shape
     nrb = bh // ROW_BLOCK
     ncc = bw // CHUNK_W
@@ -151,12 +189,32 @@ def _chunk_stats(maps: np.ndarray, src_h: int, src_w: int):
     # weights them accordingly), so the window plan must include them;
     # the reference's -1.0 invalid marker stays excluded (strict >)
     valid = (mx > -1) & (my > -1) & (mx < src_w) & (my < src_h)
-    big = 1e9
-    my_min = np.where(valid, my, big).min(axis=(2, 4))       # [n, nrb, ncc]
-    my_max = np.where(valid, my, -big).max(axis=(2, 4))
-    mx_min = np.where(valid, mx, big).min(axis=(2, 4))
-    mx_max = np.where(valid, mx, -big).max(axis=(2, 4))
-    return my_min, my_max, mx_min, mx_max
+    big = _STATS_BIG
+    return ChunkStats(
+        my_min=np.where(valid, my, big).min(axis=(2, 4)),    # [n, nrb, ncc]
+        my_max=np.where(valid, my, -big).max(axis=(2, 4)),
+        mx_min=np.where(valid, mx, big).min(axis=(2, 4)),
+        mx_max=np.where(valid, mx, -big).max(axis=(2, 4)))
+
+
+@functools.partial(jax.jit, static_argnames=("src_h", "src_w"))
+def chunk_stats_device(maps, src_h: int, src_w: int):
+    """Device twin of _chunk_stats for padded maps [N, 2, bh_p, bw_p].
+
+    Recalibration keeps the ~100 MB fused maps on device and fetches only
+    these [N, nrb, ncc] reductions (~0.5 MB) to plan strips on the host."""
+    n, _, bh, bw = maps.shape
+    nrb = bh // ROW_BLOCK
+    ncc = bw // CHUNK_W
+    mx = maps[:, 0].reshape(n, nrb, ROW_BLOCK, ncc, CHUNK_W)
+    my = maps[:, 1].reshape(n, nrb, ROW_BLOCK, ncc, CHUNK_W)
+    valid = (mx > -1) & (my > -1) & (mx < src_w) & (my < src_h)
+    big = _STATS_BIG
+    return ChunkStats(
+        my_min=jnp.where(valid, my, big).min(axis=(2, 4)),
+        my_max=jnp.where(valid, my, -big).max(axis=(2, 4)),
+        mx_min=jnp.where(valid, mx, big).min(axis=(2, 4)),
+        mx_max=jnp.where(valid, mx, -big).max(axis=(2, 4)))
 
 
 def plan_strips(maps: np.ndarray, src_h: int, src_w: int,
@@ -179,18 +237,29 @@ def plan_strips(maps: np.ndarray, src_h: int, src_w: int,
     """
     n, _, bh, bw = maps.shape
     assert bh % ROW_BLOCK == 0 and bw % 128 == 0
+    stats = _chunk_stats(maps, src_h, src_w)
+    if maps_b is not None:
+        assert maps_b.shape == maps.shape
+        stats = stats.union(_chunk_stats(maps_b, src_h, src_w))
+    return plan_strips_from_stats(stats, (bh, bw), src_h, src_w,
+                                  row_slack=row_slack, min_sh=min_sh,
+                                  min_whc=min_whc, channels=channels)
+
+
+def plan_strips_from_stats(stats: ChunkStats, band_shape, src_h: int,
+                           src_w: int, row_slack: int = 8, min_sh: int = 0,
+                           min_whc: int = 0,
+                           channels: int = 3) -> StripPlan:
+    """Plan strips from per-chunk stats (host np arrays; see ChunkStats).
+    band_shape = (bh_p, bw_p), the padded band dims the stats came from."""
+    bh, bw = band_shape
     assert src_w % 128 == 0 and src_w >= SLAB_W
     nrb = bh // ROW_BLOCK
     ncc = bw // CHUNK_W
-    my_min, my_max, mx_min, mx_max = _chunk_stats(maps, src_h, src_w)
-    if maps_b is not None:
-        assert maps_b.shape == maps.shape
-        bmy_min, bmy_max, bmx_min, bmx_max = _chunk_stats(maps_b, src_h,
-                                                          src_w)
-        my_min = np.minimum(my_min, bmy_min)
-        my_max = np.maximum(my_max, bmy_max)
-        mx_min = np.minimum(mx_min, bmx_min)
-        mx_max = np.maximum(mx_max, bmx_max)
+    stats = ChunkStats(*(np.asarray(a) for a in stats))
+    # working copies: empty chunks (sentinel-filled) plan as dummy [0, 0]
+    my_min, my_max, mx_min, mx_max = (a.copy() for a in stats)
+    n = my_min.shape[0]
     empty = my_min > my_max
     for a in (my_min, my_max, mx_min, mx_max):
         a[empty] = 0.0
@@ -260,7 +329,8 @@ def plan_strips(maps: np.ndarray, src_h: int, src_w: int,
               | ((c128 // 128) << 8) | (dc << 16)).astype(np.int32)
     packed = np.where(empty, np.int32(-1), packed)   # sign bit = skip chunk
     return StripPlan(strip_off=strip_off, chunk_packed=packed, sh=sh,
-                     whc=whc, src_hp=src_hp, src_wp=src_wp, bh_p=bh, bw_p=bw)
+                     whc=whc, src_hp=src_hp, src_wp=src_wp, bh_p=bh, bw_p=bw,
+                     stats=stats)
 
 
 def prep_source(frames_u8):

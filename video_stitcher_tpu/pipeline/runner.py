@@ -118,12 +118,17 @@ class Runner:
                 if self._stop.is_set():
                     break
                 continue
-            out_dev, pano = item
+            out_dev, first_frames = item
             out = self.stitcher.finalize_out(out_dev)
             if first:
                 try:
                     import cv2
-                    if pano is not None:
+                    if first_frames is not None:
+                        # one-time full-res pano dump (timed.cpp:255);
+                        # rendered HERE so its (one-off) program compiles
+                        # in the consumer thread, not on the hot loop's
+                        # first frame
+                        pano = self.stitcher.stitch(first_frames)
                         cv2.imwrite("calib.jpg", np.asarray(pano)[..., ::-1])
                     cv2.imwrite("result.jpg", out[..., ::-1])
                 except Exception:
@@ -190,12 +195,11 @@ class Runner:
                     self._latest_frames = frames
                 with self.timers.time("stitch"):
                     out = self.stitcher.stitch_out(frames, device=True)
-                    # first frame also renders the full-res pano for the
-                    # calib.jpg dump (timed.cpp:255)
-                    pano = (self.stitcher.stitch(frames, device=True)
-                            if self.frames_done == 0 else None)
                     out.block_until_ready()
-                self.results.push((out, pano))
+                # the consumer renders the one-time calib.jpg full pano
+                # from the first frame set (off the hot loop)
+                self.results.push((out, frames if self.frames_done == 0
+                                   else None))
                 self.frames_done += 1
                 if self.max_frames and self.frames_done >= self.max_frames:
                     break

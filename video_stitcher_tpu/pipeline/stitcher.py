@@ -196,40 +196,55 @@ class Stitcher:
                 and self.geom.warp_src_w >= 256)
 
     def _plan_warp(self, state: CalibState,
-                   fused_np: Optional[np.ndarray] = None):
+                   fused_np: Optional[np.ndarray] = None,
+                   fused_dev=None):
         """Attach the strip-warp plan (pad maps, window offsets) to the
         state; chooses the Pallas vs gather path. fused_np: host copy of
-        the (new) fused maps, when the caller just composed them — avoids
-        downloading state.fused_maps again.
+        the (new) fused maps when the caller just composed them on host
+        (calibrate/load). fused_dev: device-resident fused maps from the
+        recalibration fast path (compose_fused_maps_device) — the big map
+        tensors then never leave the device; only the ~0.5 MB ChunkStats
+        reductions cross to the host to plan strips.
 
         Returns (state, warp_static). Does NOT publish self._warp_static —
         the caller installs it together with the state (under _swap_lock
         when a stitch thread may be live) so a lazily-built program can
         never pair new statics with an old state's plan."""
         if not self._use_strip_warp():
+            if fused_dev is not None:
+                return state._replace(fused_maps=fused_dev), None
             if fused_np is not None:
                 return state._replace(fused_maps=jnp.asarray(fused_np)), None
             return state, None
         from video_stitcher_tpu.ops.remap_strips import (
-            pad_maps, plan_strips, repack_maps_lane)
-        mp = pad_maps(np.asarray(state.fused_maps) if fused_np is None
-                      else fused_np)
+            chunk_stats_device, pad_maps, pad_maps_device,
+            plan_strips_from_stats, repack_maps_lane)
         prev = self._warp_static or (0, 0)
         geom = self.geom
         warp_w = ((geom.warp_src_w + 127) // 128) * 128   # lane-padded
+        if fused_dev is not None:
+            mpj = pad_maps_device(fused_dev)
+            stats = jax.device_get(
+                chunk_stats_device(mpj, geom.warp_src_h, warp_w))
+        else:
+            mp = pad_maps(np.asarray(state.fused_maps) if fused_np is None
+                          else fused_np)
+            from video_stitcher_tpu.ops.remap_strips import _chunk_stats
+            stats = _chunk_stats(mp, geom.warp_src_h, warp_w)
+            mpj = jnp.asarray(mp)
         # min sizes keep the jitted shapes stable across mesh recalibrations
-        plan = plan_strips(mp, geom.warp_src_h, warp_w,
-                           min_sh=prev[0], min_whc=prev[1])
-        mpj = jnp.asarray(mp)
+        plan = plan_strips_from_stats(stats, tuple(mpj.shape[2:]),
+                                      geom.warp_src_h, warp_w,
+                                      min_sh=prev[0], min_whc=prev[1])
         state = state._replace(
             fused_maps=mpj,
             warp_strip_off=jnp.asarray(plan.strip_off),
             warp_chunk_packed=jnp.asarray(plan.chunk_packed),
             warp_maps_lane=repack_maps_lane(mpj))
-        # rotate host copies of the padded maps so interpolate_states can
-        # build its union plan without downloading them back from device
-        self._host_maps_prev = getattr(self, "_host_maps_for", None)
-        self._host_maps_for = (state.warp_maps_lane, mp)
+        # rotate the plan stats so interpolate_states can build its
+        # endpoint-union plan without ever touching the map tensors
+        self._plan_stats_prev = getattr(self, "_plan_stats_for", None)
+        self._plan_stats_for = (state.warp_maps_lane, plan.stats)
         return state, (plan.sh, plan.whc)
 
     def save_calibration(self, path: str) -> None:
@@ -326,11 +341,20 @@ class Stitcher:
         (the reference's recalibrateMesh thread body, timed.cpp:414-463).
         Returns True if a new mesh was installed."""
         from video_stitcher_tpu.mesh.pipeline import solve_mesh_maps
-        mesh_maps = solve_mesh_maps(frames, self)
+        mesh_maps = solve_mesh_maps(frames, self)   # device array (or None)
         if mesh_maps is None:
             return False
-        fused = compose_fused_maps(self.geom, self.aux["band_maps"], mesh_maps)
-        new_state, new_static = self._plan_warp(self.state, fused_np=fused)
+        # compose global ∘ mesh on device: the ~100 MB map tensors never
+        # cross the host boundary on the recalibration path (the round-1
+        # download→host-compose→re-upload chain dominated Rewarp latency)
+        from video_stitcher_tpu.calib.calibration import \
+            compose_fused_maps_device
+        if getattr(self, "_band_maps_dev", None) is None:
+            self._band_maps_dev = jax.device_put(self.aux["band_maps"])
+        fused_dev = compose_fused_maps_device(self._band_maps_dev,
+                                              mesh_maps, geom=self.geom)
+        new_state, new_static = self._plan_warp(self.state,
+                                                fused_dev=fused_dev)
         from video_stitcher_tpu.utils.hostdev import commit
         new_state = commit(new_state)
         if self.cfg.update_masks:
@@ -357,6 +381,7 @@ class Stitcher:
         from video_stitcher_tpu.blend.multiband import build_weight_pyramids
         from video_stitcher_tpu.ops.remap import remap_planar
         from video_stitcher_tpu.utils.hostdev import host_eager
+        mesh_maps = np.asarray(mesh_maps)   # opt-in path: host download ok
         with host_eager():
             w0 = self.aux["weights0"]
             warped = np.stack([
@@ -385,13 +410,26 @@ class Stitcher:
         is lerped too (the lane repack is a permutation, so it commutes
         with the lerp), and the window plan is re-derived to cover BOTH
         endpoints — valid for every convex mix of samples that are valid
-        at both; samples whose validity flips between the meshes (band
-        edges, ~0 blend weight) may transiently render 0. If covering both
-        endpoints would need larger static window sizes than the current
-        programs were jitted for, the animation is skipped (output snaps
-        to the new mesh) rather than re-jitting mid-animation."""
+        at both. Samples whose validity flips between the meshes (the -1
+        invalid sentinel, band edges, ~0 blend weight) are pinned to -1
+        for the whole animation instead of lerping through the sentinel:
+        a lerp between -1 and a small valid coordinate can land back
+        inside the window and transiently sample unrelated pixels. The
+        reference avoids this by lerping mesh *vertices*
+        (meshwarper.cpp:337-354); pinning is the map-space equivalent.
+        If covering both endpoints would need larger static window sizes
+        than the current programs were jitted for, the animation is
+        skipped (output snaps to the new mesh) rather than re-jitting
+        mid-animation."""
         t = float(min(max(t, 0.0), 1.0))
-        mix = old.fused_maps * (1.0 - t) + new.fused_maps * t
+
+        def lerp_valid(a, b):
+            # coordinates <= -1 either carry the invalid sentinel (exactly
+            # -1) or render 0 through the border handling anyway
+            return jnp.where(jnp.minimum(a, b) > -1.0,
+                             a * (1.0 - t) + b * t, -1.0)
+
+        mix = lerp_valid(old.fused_maps, new.fused_maps)
         out = new._replace(fused_maps=mix)
         if (new.warp_maps_lane is None or old.warp_maps_lane is None
                 or old.warp_maps_lane.shape != new.warp_maps_lane.shape):
@@ -401,28 +439,30 @@ class Stitcher:
         # can't be an id-recycling false positive
         if (cache is None or cache[0] is not old.warp_maps_lane
                 or cache[1] is not new.warp_maps_lane):
-            from video_stitcher_tpu.ops.remap_strips import plan_strips
+            from video_stitcher_tpu.ops.remap_strips import (
+                _chunk_stats, plan_strips_from_stats)
             geom = self.geom
             warp_w = ((geom.warp_src_w + 127) // 128) * 128
             prev = self._warp_static or (0, 0)
 
-            def host_maps(wml, fused):
-                # padded host copies rotated by _plan_warp — avoids
-                # pulling the ~50 MB map tensors back off the device
-                for attr in ("_host_maps_for", "_host_maps_prev"):
+            def stats_for(wml, fused):
+                # tiny per-chunk stats rotated by _plan_warp — the union
+                # plan never touches the ~100 MB map tensors
+                for attr in ("_plan_stats_for", "_plan_stats_prev"):
                     pair = getattr(self, attr, None)
                     if pair is not None and pair[0] is wml:
                         return pair[1]
-                return np.asarray(fused)
+                return _chunk_stats(np.asarray(fused), geom.warp_src_h,
+                                    warp_w)
 
             so = cp = None
             try:
-                plan = plan_strips(host_maps(old.warp_maps_lane,
-                                             old.fused_maps),
-                                   geom.warp_src_h, warp_w,
-                                   min_sh=prev[0], min_whc=prev[1],
-                                   maps_b=host_maps(new.warp_maps_lane,
-                                                    new.fused_maps))
+                stats = stats_for(old.warp_maps_lane, old.fused_maps).union(
+                    stats_for(new.warp_maps_lane, new.fused_maps))
+                plan = plan_strips_from_stats(
+                    stats, tuple(new.fused_maps.shape[2:]),
+                    geom.warp_src_h, warp_w,
+                    min_sh=prev[0], min_whc=prev[1])
                 if (plan.sh, plan.whc) == self._warp_static:
                     so = jnp.asarray(plan.strip_off)
                     cp = jnp.asarray(plan.chunk_packed)
@@ -434,6 +474,6 @@ class Stitcher:
         if so is None:
             return out            # union plan needs bigger statics: snap
         return out._replace(
-            warp_maps_lane=(old.warp_maps_lane * (1.0 - t)
-                            + new.warp_maps_lane * t),
+            warp_maps_lane=lerp_valid(old.warp_maps_lane,
+                                      new.warp_maps_lane),
             warp_strip_off=so, warp_chunk_packed=cp)
