@@ -78,6 +78,18 @@ def main():
     pano_gold = np.asarray(gold_step(jnp.asarray(frames), st.state))
     parity = psnr(pano[valid > 0], pano_gold[valid > 0])
 
+    # parity vs the ACTUAL reference chain (cv2 CPU gold of
+    # calibration.cpp/timed.cpp; see tools/reference_gold.py) — compared
+    # on the global-only state since the gold has no CPW mesh
+    sys.path.insert(0, "tools")
+    try:
+        from reference_gold import psnr_vs_reference
+        pano_global = np.asarray(gold_step(jnp.asarray(frames),
+                                           st.state_global))
+        ref = psnr_vs_reference(st, frames, pano=pano_global)
+    except Exception as e:
+        ref = {"psnr_vs_reference_db": None, "error": str(e)[:200]}
+
     state = st.state
 
     def device_frame(fj):
@@ -143,6 +155,9 @@ def main():
         "h2d_upload_ms_devtunnel": round(h2d_ms, 1),
         "psnr_vs_gold_db": round(float(parity), 2),
         "psnr_vs_scene_db": round(float(fidelity), 2),
+        "psnr_vs_reference_db": ref.get("psnr_vs_reference_db"),
+        "psnr_vs_reference_f32_db": ref.get("psnr_vs_reference_f32_db"),
+        "reference_int_vs_f32_db": ref.get("reference_int_vs_f32_db"),
         "calibration_s": round(calib_s, 2),
         "pano": [geom.pano_h, geom.pano_w],
         "device": str(jax.devices()[0]),

@@ -169,6 +169,9 @@ class Stitcher:
         # (via host numpy — see utils.hostdev.commit)
         from video_stitcher_tpu.utils.hostdev import commit
         self.state = commit(state)
+        # global-warp-only snapshot (pre-CPW-mesh), kept for parity checks
+        # against the reference's no-mesh chain (tools/reference_gold.py)
+        self.state_global = self.state
         self._build_step()
         if self.cfg.enable_local:
             # initial CPW mesh solve (calibration.cpp:299-302)
