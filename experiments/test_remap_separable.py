@@ -5,7 +5,9 @@ import jax
 import jax.numpy as jnp
 
 from video_stitcher_tpu.ops.remap import remap_planar
-from video_stitcher_tpu.ops.remap_separable import (
+import sys, os
+sys.path.insert(0, os.path.dirname(__file__))
+from remap_separable import (
     SepPlan, plan_separable, pass_h, pass_v, XPAD, LANE_PAD_R,
     ROW_BLOCK, CHUNK_W,
 )

@@ -76,6 +76,11 @@ class StitcherConfig:
     #: (MultiBandBlender::update_mask; disabled in the reference,
     #: 360_stitcher/timed.cpp:598-606).
     update_masks: bool = False
+    #: Dump match / solved-mesh visualizations from each recalibration
+    #: into viz_dir (VISUALIZE_MATCHES / VISUALIZE_WARPED, defs.h:62-64).
+    visualize_matches: bool = False
+    visualize_mesh: bool = False
+    viz_dir: str = "viz"
 
     # --- output / consumer (defs.h:39-40,35-36,28-33,41) ---
     output_width: int = 4096

@@ -21,15 +21,21 @@ class FrameQueue:
         self.drop_oldest = drop_oldest
         self._closed = False
 
-    def push(self, item: Any) -> bool:
+    def push(self, item: Any, block: bool = False) -> bool:
+        """block=True waits for space when full (backpressure for the
+        staging producer) instead of returning False."""
         with self._cv:
-            if self.max_size and len(self._q) >= self.max_size:
-                if self.drop_oldest:
-                    self._q.popleft()
-                else:
+            while (self.max_size and len(self._q) >= self.max_size
+                   and not self.drop_oldest and not self._closed):
+                if not block:
                     return False
+                self._cv.wait(0.1)
+            if self._closed:
+                return False
+            if self.max_size and len(self._q) >= self.max_size:
+                self._q.popleft()                  # drop_oldest
             self._q.append(item)
-            self._cv.notify()
+            self._cv.notify_all()
             return True
 
     def pop(self, timeout: Optional[float] = None) -> Optional[Any]:
@@ -38,7 +44,9 @@ class FrameQueue:
                 return None
             if not self._q:
                 return None
-            return self._q.popleft()
+            item = self._q.popleft()
+            self._cv.notify_all()                  # wake blocked pushers
+            return item
 
     def clear(self) -> None:
         with self._cv:

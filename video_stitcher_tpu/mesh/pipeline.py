@@ -56,11 +56,14 @@ def _detect_all(bands_gray, masks, max_kp=512, num_levels=4,
 
 def _warp_bands_global(frames, global_fused_maps, geom):
     """Warp frames through the *global-only* fused maps (the mesh must be
-    estimated on globally-warped images, meshwarper.cpp:64-73). Under
-    geom.prewarp the frames are resized to compose scale first, matching
-    the maps' coordinates."""
+    estimated on globally-warped images, meshwarper.cpp:64-73). frames:
+    u8 RGB [C, H, W, 3] or NV12 [C, H*3/2, W] (host or device — the
+    Runner hands the staging thread's device-resident frames straight in,
+    skipping a second upload). Under geom.prewarp the frames are resized
+    to compose scale first, matching the maps' coordinates."""
     from video_stitcher_tpu.calib.calibration import prewarp_source
-    x = jnp.moveaxis(jnp.asarray(frames), -1, 1).astype(jnp.float32)
+    from video_stitcher_tpu.pipeline.stitcher import _frames_to_planar_f32
+    x = _frames_to_planar_f32(jnp.asarray(frames))
     x = prewarp_source(x, geom)
     return jax.vmap(lambda im, m: remap_planar(im, m[0], m[1]))(
         x, jnp.asarray(global_fused_maps))
@@ -220,8 +223,35 @@ class MeshPipeline:
 
         verts = self.solver.solve(matches, temporal=temporal,
                                   salience=salience)
+        if cfg.visualize_matches or cfg.visualize_mesh:
+            self._dump_viz(bands, matches, verts)
         return mesh_to_backward_maps(jnp.asarray(verts),
                                      geom.layout.band_h, geom.layout.band_w)
+
+    def _dump_viz(self, bands, matches, verts):
+        """Write match / mesh debug images for this recalibration
+        (VISUALIZE_MATCHES / VISUALIZE_WARPED toggles, defs.h:62-64 /
+        meshwarper.cpp:159-171,788-807). Debug-only: downloads the band
+        tensor."""
+        import os
+        from video_stitcher_tpu.utils import viz
+        cfg = self.cfg
+        os.makedirs(cfg.viz_dir, exist_ok=True)
+        self._viz_seq = getattr(self, "_viz_seq", -1) + 1
+        imgs = np.asarray(bands)                  # [C, 3, bh, bw]
+        for i, m in enumerate(matches):
+            if cfg.visualize_matches and m is not None:
+                pairs = np.stack([np.arange(len(m.p1))] * 2, axis=1)
+                img = viz.draw_matches(imgs[i], m.p1, imgs[m.dst], m.p2,
+                                       pairs)
+                viz.save(os.path.join(
+                    cfg.viz_dir,
+                    f"matches_{self._viz_seq:03d}_{i}to{m.dst}.png"), img)
+            if cfg.visualize_mesh:
+                img = viz.draw_mesh(imgs[i], verts[i])
+                viz.save(os.path.join(
+                    cfg.viz_dir,
+                    f"mesh_{self._viz_seq:03d}_{i}.png"), img)
 
 
 def solve_mesh_maps(frames, stitcher):

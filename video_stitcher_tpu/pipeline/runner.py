@@ -38,7 +38,7 @@ class Runner:
         self._latest_frames: Optional[np.ndarray] = None
         self._latest_lock = threading.Lock()
         self._stop = threading.Event()
-        self.timers = StageTimers(["acquire", "stitch", "output"])
+        self.timers = StageTimers(["acquire", "upload", "stitch", "output"])
         self.fps = FpsMeter(period=30)
         self.frames_done = 0
 
@@ -53,14 +53,12 @@ class Runner:
             ingest.start()
 
             class _NV12Source:
+                """Hands raw NV12 [N, H*3/2, W] straight through — the
+                stitch step converts on device (half the upload bytes of
+                RGB; defs.h:10-17 capture format)."""
+
                 def get_frames(self_inner):
-                    nv = ingest.get_frames(timeout=10.0)
-                    if nv is None:
-                        return None
-                    from video_stitcher_tpu.ops.color import nv12_to_rgb
-                    import jax
-                    rgb = jax.vmap(nv12_to_rgb)(nv)
-                    return np.asarray(rgb).astype(np.uint8)
+                    return ingest.get_frames(timeout=10.0)
 
                 def release(self_inner):
                     ingest.stop()
@@ -155,6 +153,41 @@ class Runner:
             if fps is not None:
                 log.info("fps: %.2f (%s)", fps, self.timers.summary())
 
+    # --- staging (double-buffered H2D) ----------------------------------
+    _EOF = object()
+
+    def _stage_loop(self, source):
+        """Producer thread: acquire + device_put frame set t+1 while the
+        stitch thread computes t (SURVEY §7(d) — the reference's
+        synchronous per-frame upload is its own measured bottleneck,
+        timed.cpp:62-71). The bounded queue keeps at most 2 frame sets in
+        flight so a slow consumer applies backpressure, and the staged
+        device array doubles as the recalibration thread's input (no
+        second upload of the same frames)."""
+        import jax
+        while not self._stop.is_set():
+            with self.timers.time("acquire"):
+                frames = source.get_frames()
+            if frames is None:
+                self._staged.push(Runner._EOF, block=True)
+                return
+            with self.timers.time("upload"):
+                dev = jax.device_put(frames)
+            self._staged.push(dev, block=True)
+
+    @staticmethod
+    def _to_rgb_host(frames):
+        """NV12 [N, H*3/2, W] -> RGB u8 [N, H, W, 3] on host (one-time,
+        for calibration, which needs channel-last RGB)."""
+        if frames.ndim != 3:
+            return frames
+        import jax
+        from video_stitcher_tpu.ops.color import nv12_to_rgb
+        from video_stitcher_tpu.utils.hostdev import host_eager
+        with host_eager():
+            return np.asarray(jax.vmap(nv12_to_rgb)(np.asarray(frames))
+                              ).astype(np.uint8)
+
     # --- main loop -------------------------------------------------------
     def run(self) -> None:
         cfg = self.cfg
@@ -163,20 +196,25 @@ class Runner:
         if frames is None:
             raise RuntimeError("couldn't read initial frames")
         t0 = time.perf_counter()
-        self.stitcher.calibrate(frames)
+        self.stitcher.calibrate(self._to_rgb_host(frames))
         log.info("Calibration done in: %.0f ms", (time.perf_counter() - t0) * 1e3)
 
+        self._staged = FrameQueue(max_size=2, drop_oldest=False)
         consumer = threading.Thread(target=self._consume_loop, daemon=True)
         recalib = threading.Thread(target=self._recalib_loop, daemon=True)
+        stager = threading.Thread(target=self._stage_loop, args=(source,),
+                                  daemon=True)
         consumer.start()
         recalib.start()
+        stager.start()
 
         tracing = False
         try:
             while not self._stop.is_set():
-                with self.timers.time("acquire"):
-                    frames = source.get_frames()
+                frames = self._staged.pop(timeout=1.0)
                 if frames is None:
+                    continue
+                if frames is Runner._EOF:
                     log.info("source exhausted")
                     break
                 if (cfg.trace_dir and not tracing
@@ -208,7 +246,9 @@ class Runner:
                 from video_stitcher_tpu.utils.trace import stop_device_trace
                 stop_device_trace()
             self._stop.set()
+            self._staged.close()               # unblock the stager
             self.results.close()
+            stager.join(timeout=5)
             consumer.join(timeout=10)
             # the recalib thread may be mid-solve; give it a moment so the
             # interpreter doesn't tear down under its feet (a C++ exception

@@ -273,13 +273,10 @@ class Stitcher:
 
     def stitch_nv12(self, nv12: np.ndarray, device: bool = False):
         """Production ingest fast path: NV12 u8 [N, H*3/2, W] -> u8 pano.
-        Converts to planar RGB on-device (half the host->device bytes of
-        RGB, no layout transpose; the gather fallback converts inside
-        warp_bands)."""
-        with self._swap_lock:
-            fn, state = self._step, self.state
-        pano = fn(jnp.asarray(nv12), state)
-        return pano if device else np.asarray(pano)
+        Same entry as stitch — the jitted step dispatches on frames.ndim
+        and converts to planar RGB on device (half the host->device bytes
+        of RGB, no layout transpose)."""
+        return self.stitch(nv12, device)
 
     def _out_size(self):
         """Output frame size under the aspect policy (timed.cpp:254-292)."""
