@@ -25,22 +25,127 @@ import numpy as np
 from video_stitcher_tpu.config import StitcherConfig
 
 
-def _open_encoder(kind: str, w: int, h: int):
-    if kind == "hevc":
+class AnnexBFramer:
+    """Splits an HEVC/H.26x Annex-B byte stream into complete NAL units.
+
+    The encoder subprocess emits bytes with no unit alignment — a read can
+    return half a NAL or several (the round-1 single read1() could even
+    return empty under encoder latency and then drop bitstream). A NAL is
+    complete only once the NEXT start code (00 00 01 / 00 00 00 01)
+    arrives; the partial tail stays buffered until then. Units are
+    emitted with their start codes so the concatenation is byte-exact."""
+
+    def __init__(self):
+        self._buf = bytearray()
+
+    @staticmethod
+    def _find_start(buf, from_, to):
+        i = buf.find(b"\x00\x00\x01", from_, to)
+        if i > 0 and buf[i - 1] == 0:
+            i -= 1                       # fold a 4-byte start code
+        return i
+
+    def push(self, data: bytes):
+        """-> list of complete NAL units (bytes, start codes included)."""
+        self._buf += data
+        units = []
+        start = self._find_start(self._buf, 0, len(self._buf))
+        if start < 0:
+            return units
+        while True:
+            nxt = self._buf.find(b"\x00\x00\x01", start + 3)
+            if nxt < 0:
+                break
+            if nxt > 0 and self._buf[nxt - 1] == 0:
+                nxt -= 1
+            units.append(bytes(self._buf[start:nxt]))
+            start = nxt
+        del self._buf[:start]
+        return units
+
+    def flush(self) -> bytes:
+        """Remaining tail (the final NAL at end-of-stream)."""
+        out = bytes(self._buf)
+        self._buf.clear()
+        return out
+
+
+class HevcEncoder:
+    """kvazaar/ffmpeg subprocess with a dedicated stdout reader thread.
+
+    The reference runs kvazaar in-process (timed.cpp:198-229,320-350);
+    here the encoder is a pipe, and writing frames while the encoder
+    blocks on a full stdout pipe is a classic deadlock — so a reader
+    thread drains stdout continuously into an AnnexBFramer and encode()
+    returns whatever COMPLETE units have arrived (possibly none: the
+    encoder's lookahead delays output by several frames)."""
+
+    def __init__(self, w: int, h: int):
+        import threading
         exe = shutil.which("kvazaar") or shutil.which("ffmpeg")
         if exe is None:
             raise RuntimeError("no HEVC encoder available (kvazaar/ffmpeg)")
-        if exe.endswith("ffmpeg"):
+        if exe.endswith("kvazaar"):
+            cmd = [exe, "-i", "-", "--input-res", f"{w}x{h}",
+                   "--preset", "ultrafast", "-o", "-"]
+        else:
             cmd = [exe, "-f", "rawvideo", "-pix_fmt", "yuv420p",
                    "-s", f"{w}x{h}", "-i", "-", "-c:v", "libx265",
                    "-preset", "ultrafast", "-f", "hevc", "-"]
-        else:
-            cmd = [exe, "-i", "-", "--input-res", f"{w}x{h}",
-                   "--preset", "ultrafast", "-o", "-"]
-        return subprocess.Popen(cmd, stdin=subprocess.PIPE,
-                                stdout=subprocess.PIPE,
-                                stderr=subprocess.DEVNULL)
-    return None
+        self._proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.DEVNULL)
+        self._framer = AnnexBFramer()
+        self._units = []
+        self._mu = threading.Lock()
+        self._eof = threading.Event()
+        self._reader = threading.Thread(target=self._drain, daemon=True)
+        self._reader.start()
+
+    def _drain(self):
+        while True:
+            data = self._proc.stdout.read(1 << 16)
+            if not data:
+                tail = self._framer.flush()
+                with self._mu:
+                    if tail:
+                        self._units.append(tail)
+                self._eof.set()
+                return
+            units = self._framer.push(data)
+            if units:
+                with self._mu:
+                    self._units.extend(units)
+
+    def encode(self, i420_bytes: bytes) -> bytes:
+        """Feed one raw I420 frame; return the complete units available."""
+        self._proc.stdin.write(i420_bytes)
+        self._proc.stdin.flush()
+        return self.take()
+
+    def take(self) -> bytes:
+        with self._mu:
+            out = b"".join(self._units)
+            self._units.clear()
+        return out
+
+    def finish(self, timeout: float = 10.0) -> bytes:
+        """Close input and return everything still in the encoder."""
+        try:
+            self._proc.stdin.close()
+        except OSError:
+            pass
+        self._eof.wait(timeout)
+        self._reader.join(timeout=1.0)
+        return self.take()
+
+    def close(self) -> None:
+        try:
+            self._proc.stdin.close()
+        except OSError:
+            pass
+        self._proc.terminate()
+        self._proc.wait(timeout=5)
 
 
 class PlayerEgress:
@@ -89,8 +194,7 @@ class PlayerEgress:
             self._listener.close()
             self._listener = None
         if self._enc is not None:
-            self._enc.stdin.close()
-            self._enc.terminate()
+            self._enc.close()
             self._enc = None
 
     # --- frame path ----------------------------------------------------
@@ -107,13 +211,12 @@ class PlayerEgress:
         if self.encoder_kind == "raw":
             from video_stitcher_tpu.ops.color import rgb_to_i420
             return np.asarray(rgb_to_i420(frame_rgb)).tobytes()
-        # hevc subprocess
+        # hevc subprocess with reader thread + Annex-B unit framing; may
+        # legitimately return b"" while the encoder's lookahead fills
         if self._enc is None:
-            self._enc = _open_encoder("hevc", w, h)
+            self._enc = HevcEncoder(w, h)
         from video_stitcher_tpu.ops.color import rgb_to_i420
-        self._enc.stdin.write(np.asarray(rgb_to_i420(frame_rgb)).tobytes())
-        self._enc.stdin.flush()
-        return self._enc.stdout.read1(1 << 20)
+        return self._enc.encode(np.asarray(rgb_to_i420(frame_rgb)).tobytes())
 
     def send_frame(self, frame_rgb: np.ndarray) -> None:
         """Send one frame; on failure reconnect + reopen the encoder
@@ -126,14 +229,18 @@ class PlayerEgress:
             self._sent_height = True
         payload = self._encode(frame_rgb)
         try:
-            self.sock.sendall(payload)
+            if payload:
+                self.sock.sendall(payload)
         except OSError:
-            # reconnect + reopen encoder for a clean bitstream
+            # reconnect + reopen encoder so the new connection starts a
+            # clean bitstream (VPS/SPS/PPS + IDR), timed.cpp:331-348
             if self._enc is not None:
-                self._enc.terminate()
+                self._enc.close()
                 self._enc = None
             self.connect()
             if self.cfg.send_height_info:
                 self.sock.sendall(struct.pack("<i", frame_rgb.shape[0]))
                 self._sent_height = True
-            self.sock.sendall(payload)
+            payload = self._encode(frame_rgb)
+            if payload:
+                self.sock.sendall(payload)
