@@ -39,6 +39,31 @@ def test_sharded_matches_single_chip(small, n_dev):
     assert diff.max() <= 1
 
 
+def test_camera_shards_production_path(small):
+    """cfg.camera_shards drives the Stitcher itself (the Runner's path):
+    mesh built, state sharded at install, stitch/stitch_out dispatch the
+    sharded programs, staging places frames with the cam sharding."""
+    import dataclasses
+    st1, frames = small
+    cfg = dataclasses.replace(st1.cfg, camera_shards=4)
+    st = Stitcher(cfg)
+    st.calibrate(frames)
+    assert st._shard is not None and st._shard["mesh"].size == 4
+    pano = st.stitch(frames)
+    ref = st1.stitch(frames)
+    diff = np.abs(pano.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 1
+    # fused sharded output program + staging placement
+    staged = st.stage_frames(frames)
+    assert staged.shape[0] == st._shard["total"]
+    out = np.asarray(st.stitch_out(staged))
+    oh, ow = st._out_size()
+    assert out.shape == (oh, ow, 3)
+    ref_out = np.asarray(st1.stitch_out(frames))
+    diff = np.abs(out.astype(np.int32) - ref_out.astype(np.int32))
+    assert diff.max() <= 1
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)

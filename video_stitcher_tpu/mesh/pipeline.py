@@ -142,6 +142,8 @@ class MeshPipeline:
         geom = self.geom
         cfg = self.cfg
         c = geom.num_images
+        if frames.shape[0] != c:
+            frames = frames[:c]         # drop mesh-padding cameras
 
         bands = _warp_bands_global_jit(frames, self.global_maps,
                                        geom)                 # [C,3,bh,bw]

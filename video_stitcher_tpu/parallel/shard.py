@@ -54,6 +54,15 @@ def pad_cameras(arr: np.ndarray, total: int, fill=0) -> np.ndarray:
     return np.pad(arr, pad, constant_values=fill)
 
 
+def _put(arr, total: int, sharding, fill=0):
+    """device_put with camera-axis padding. Already-correctly-sized jax
+    arrays reshard device-to-device (no host roundtrip — recalibration
+    re-shards its device-resident state every swap)."""
+    if isinstance(arr, jax.Array) and arr.shape[0] == total:
+        return jax.device_put(arr, sharding)
+    return jax.device_put(pad_cameras(np.asarray(arr), total, fill), sharding)
+
+
 def shard_state(state: CalibState, geom: StitchGeometry, mesh: Mesh,
                 axis: str = "cam"):
     """Pad camera-axis arrays to the mesh size and shard them."""
@@ -62,36 +71,33 @@ def shard_state(state: CalibState, geom: StitchGeometry, mesh: Mesh,
     total = ((n + n_dev - 1) // n_dev) * n_dev
     cam_sharding = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
-    fused = jax.device_put(pad_cameras(np.asarray(state.fused_maps), total),
-                           cam_sharding)
-    gains = jax.device_put(pad_cameras(np.asarray(state.gains), total),
-                           cam_sharding)
-    wpyr = tuple(jax.device_put(pad_cameras(np.asarray(w), total), cam_sharding)
-                 for w in state.weight_pyr)
-    valid = jax.device_put(np.asarray(state.valid_mask), rep)
+    fused = _put(state.fused_maps, total, cam_sharding)
+    gains = _put(state.gains, total, cam_sharding)
+    wpyr = tuple(_put(w, total, cam_sharding) for w in state.weight_pyr)
+    valid = jax.device_put(state.valid_mask, rep)
     corners = np.asarray(list(geom.layout.corners) + [0] * (total - n), np.int32)
     so = cp = wml = None
     if state.warp_maps_lane is not None:
         # strip-warp plan, sharded with the cameras; padded cameras carry
         # the kernel's skip flags (negative strip_off / chunk_packed)
-        so = jax.device_put(pad_cameras(
-            np.asarray(state.warp_strip_off), total, fill=-8), cam_sharding)
-        cp = jax.device_put(pad_cameras(
-            np.asarray(state.warp_chunk_packed), total, fill=-1), cam_sharding)
-        wml = jax.device_put(pad_cameras(
-            np.asarray(state.warp_maps_lane), total, fill=-1), cam_sharding)
+        so = _put(state.warp_strip_off, total, cam_sharding, fill=-8)
+        cp = _put(state.warp_chunk_packed, total, cam_sharding, fill=-1)
+        wml = _put(state.warp_maps_lane, total, cam_sharding, fill=-1)
     return (CalibState(fused, gains, wpyr, valid, so, cp, wml),
             jax.device_put(corners, rep), total)
 
 
 def build_sharded_step(geom: StitchGeometry, mesh: Mesh, axis: str = "cam",
-                       total_cams: int | None = None, warp_static=None):
-    """Returns jit(frames_u8 [total, H, W, 3] sharded on cameras, state,
-    corners) -> replicated u8 pano.
+                       total_cams: int | None = None, warp_static=None,
+                       out_size=None):
+    """Returns jit(frames_u8 [total, H, W, 3] (or NV12 [total, H*3/2, W])
+    sharded on cameras, state, corners) -> replicated u8 pano.
 
     warp_static = (sh, whc) runs each device's local warp through the
     production Pallas strip kernel (the state must carry the sharded strip
-    plan, shard_state handles it); None = XLA gather (CPU dry-runs)."""
+    plan, shard_state handles it); None = XLA gather (CPU dry-runs).
+    out_size = (oh, ow) fuses the consumer resize into the same program
+    (the sharded twin of Stitcher.stitch_out)."""
     lay = geom.layout
     levels = geom.num_bands
 
@@ -109,7 +115,9 @@ def build_sharded_step(geom: StitchGeometry, mesh: Mesh, axis: str = "cam",
             bands = bands[:, :, :lay.band_h, :lay.band_w]
         else:
             from video_stitcher_tpu.calib.calibration import prewarp_source
-            x = jnp.moveaxis(frames, -1, 1).astype(jnp.float32)
+            from video_stitcher_tpu.pipeline.stitcher import \
+                _frames_to_planar_f32
+            x = _frames_to_planar_f32(frames)
             x = prewarp_source(x, geom)
             bands = jax.vmap(lambda im, m: remap_planar(im, m[0], m[1]))(
                 x, fused[:, :, :lay.band_h, :lay.band_w])
@@ -154,8 +162,15 @@ def build_sharded_step(geom: StitchGeometry, mesh: Mesh, axis: str = "cam",
             so = jnp.zeros((n, 1), jnp.int32)
             cp = jnp.zeros((n, 1, 1), jnp.int32)
             wml = jnp.zeros((n, 1, 2, 1), jnp.float32)
-        return sharded(frames, state.fused_maps, state.gains,
+        pano = sharded(frames, state.fused_maps, state.gains,
                        state.weight_pyr, so, cp, wml,
                        state.valid_mask, corners)
+        if out_size is None:
+            return pano
+        from video_stitcher_tpu.ops.resize import resize_planar
+        x = jnp.moveaxis(pano, -1, 0).astype(jnp.float32)
+        y = resize_planar(x, out_size[0], out_size[1])
+        return jnp.moveaxis(jnp.clip(jnp.round(y), 0, 255
+                                     ).astype(jnp.uint8), 0, -1)
 
     return step

@@ -164,7 +164,6 @@ class Runner:
         flight so a slow consumer applies backpressure, and the staged
         device array doubles as the recalibration thread's input (no
         second upload of the same frames)."""
-        import jax
         while not self._stop.is_set():
             with self.timers.time("acquire"):
                 frames = source.get_frames()
@@ -172,7 +171,9 @@ class Runner:
                 self._staged.push(Runner._EOF, block=True)
                 return
             with self.timers.time("upload"):
-                dev = jax.device_put(frames)
+                # single-device put, or camera-sharded across the mesh
+                # when cfg.camera_shards > 1
+                dev = self.stitcher.stage_frames(frames)
             self._staged.push(dev, block=True)
 
     @staticmethod

@@ -152,6 +152,10 @@ class Stitcher:
         self._step_out = None
         self._out = None
         self._warp_static = None
+        #: multi-chip state (cfg.camera_shards > 1): dict with the camera
+        #: Mesh, sharded CalibState + corners, and the sharded step
+        #: programs. None = single chip.
+        self._shard = None
         # pairs (program, state) reads/swaps: the stitch thread must never
         # see a new state with a program jitted for the old strip-plan
         # statics (or a half-rebuilt step) while a recalibration swaps them
@@ -172,6 +176,8 @@ class Stitcher:
         # global-warp-only snapshot (pre-CPW-mesh), kept for parity checks
         # against the reference's no-mesh chain (tools/reference_gold.py)
         self.state_global = self.state
+        self._setup_shard()
+        self._install_sharded()
         self._build_step()
         if self.cfg.enable_local:
             # initial CPW mesh solve (calibration.cpp:299-302)
@@ -179,6 +185,63 @@ class Stitcher:
                 self.recalibrate_mesh(frames)
             except NotImplementedError:
                 pass
+
+    # --- multi-chip (cfg.camera_shards, SURVEY §2d) -------------------
+    def _setup_shard(self) -> None:
+        """Build the camera-axis device Mesh when cfg.camera_shards > 1
+        and enough devices exist (per-camera data parallelism over ICI;
+        the 6-camera pyramid accumulation becomes one psum per level,
+        parallel/shard.py)."""
+        self._shard = None
+        if self.cfg.camera_shards <= 1:
+            return
+        from jax.sharding import Mesh
+        devs = jax.devices()
+        n = min(self.cfg.camera_shards, len(devs))
+        if n <= 1:
+            return
+        self._shard = {"mesh": Mesh(np.array(devs[:n]), ("cam",)),
+                       "static": None, "step": None, "step_out": None}
+
+    def _install_sharded(self) -> None:
+        """(Re-)shard the installed state across the mesh — runs after
+        calibrate and after EVERY recalibration/interp swap (device-to-
+        device reshard; see parallel.shard._put). Caller holds _swap_lock
+        whenever a stitch thread may be live."""
+        sh = self._shard
+        if sh is None:
+            return
+        from video_stitcher_tpu.parallel.shard import (
+            build_sharded_step, shard_state)
+        sh["state"], sh["corners"], sh["total"] = shard_state(
+            self.state, self.geom, sh["mesh"])
+        if sh["step"] is None or sh["static"] != self._warp_static:
+            sh["static"] = self._warp_static
+            sh["step"] = build_sharded_step(
+                self.geom, sh["mesh"], total_cams=sh["total"],
+                warp_static=self._warp_static)
+            oh, ow = self._out_size()
+            sh["step_out"] = build_sharded_step(
+                self.geom, sh["mesh"], total_cams=sh["total"],
+                warp_static=self._warp_static, out_size=(oh, ow))
+
+    def _shard_frames(self, frames):
+        """Pad the camera axis and place frames with the cam sharding."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from video_stitcher_tpu.parallel.shard import pad_cameras
+        sh = self._shard
+        sharding = NamedSharding(sh["mesh"], P("cam"))
+        if frames.shape[0] != sh["total"]:
+            frames = pad_cameras(np.asarray(frames), sh["total"])
+        return jax.device_put(frames, sharding)
+
+    def stage_frames(self, frames):
+        """device_put frames with the placement the stitch step wants
+        (the Runner's staging thread uses this — single device, or
+        camera-sharded across the mesh)."""
+        if self._shard is None:
+            return jax.device_put(frames)
+        return self._shard_frames(frames)
 
     def _build_step(self) -> None:
         """(Re)build the per-frame full-pano and fused-output programs for
@@ -260,15 +323,26 @@ class Stitcher:
         self._warp_static = None
         state, self._warp_static = self._plan_warp(load_state(path))
         self.state = commit(state)
+        self._setup_shard()
+        self._install_sharded()
         self._build_step()
 
     # --- online ------------------------------------------------------
     def stitch(self, frames: np.ndarray, device: bool = False):
-        """frames u8 [N, H, W, 3] -> u8 pano. device=True returns the jax
-        array without host transfer (for chained device-side consumers)."""
+        """frames u8 [N, H, W, 3] (or NV12 [N, H*3/2, W]) -> u8 pano.
+        device=True returns the jax array without host transfer (for
+        chained device-side consumers). Dispatches to the camera-sharded
+        multi-chip step when cfg.camera_shards > 1."""
         with self._swap_lock:
-            fn, state = self._step, self.state
-        pano = fn(jnp.asarray(frames), state)
+            sh = self._shard
+            if sh is not None:
+                fn, state, corners = sh["step"], sh["state"], sh["corners"]
+            else:
+                fn, state = self._step, self.state
+        if sh is not None:
+            pano = fn(self._shard_frames(frames), state, corners)
+        else:
+            pano = fn(jnp.asarray(frames), state)
         return pano if device else np.asarray(pano)
 
     def stitch_nv12(self, nv12: np.ndarray, device: bool = False):
@@ -295,20 +369,29 @@ class Stitcher:
         black-bar compositing; otherwise equivalent to
         output(stitch(frames))."""
         with self._swap_lock:
-            if self._step_out is None:
-                oh, ow = self._out_size()
-                geom = self.geom
-                ws = self._warp_static
+            sh = self._shard
+            if sh is not None:
+                fn, state, corners = (sh["step_out"], sh["state"],
+                                      sh["corners"])
+            else:
+                if self._step_out is None:
+                    oh, ow = self._out_size()
+                    geom = self.geom
+                    ws = self._warp_static
 
-                # ONE program per frame (warp kernel + blend + resize +
-                # pack): a single dispatch halves the host->device call
-                # overhead and now compiles as well as the chained pair
-                def step_out(f, s):
-                    return blend_resize_pack(warp_bands(f, s, geom, ws), s,
-                                             geom, out_h=oh, out_w=ow)
-                self._step_out = jax.jit(step_out)
-            fn, state = self._step_out, self.state
-        frame = fn(jnp.asarray(frames), state)
+                    # ONE program per frame (warp kernel + blend + resize
+                    # + pack): a single dispatch halves the host->device
+                    # call overhead and compiles as well as the chained
+                    # pair
+                    def step_out(f, s):
+                        return blend_resize_pack(warp_bands(f, s, geom, ws),
+                                                 s, geom, out_h=oh, out_w=ow)
+                    self._step_out = jax.jit(step_out)
+                fn, state = self._step_out, self.state
+        if sh is not None:
+            frame = fn(self._shard_frames(frames), state, corners)
+        else:
+            frame = fn(jnp.asarray(frames), state)
         return frame if device else self.finalize_out(frame)
 
     def finalize_out(self, frame):
@@ -369,6 +452,7 @@ class Stitcher:
                 self._warp_static = new_static
                 self._build_step()
             self.state = new_state
+            self._install_sharded()     # re-shard across the mesh
         return True
 
     def _rebuild_weights(self, state: CalibState, mesh_maps) -> CalibState:
@@ -395,9 +479,11 @@ class Stitcher:
                               valid_mask=commit(valid))
 
     def swap_state(self, state: CalibState) -> None:
-        """Install a new CalibState atomically wrt the stitch thread."""
+        """Install a new CalibState atomically wrt the stitch thread
+        (re-sharding it across the mesh when multi-chip)."""
         with self._swap_lock:
             self.state = state
+            self._install_sharded()
 
     def interpolate_states(self, old: CalibState, new: CalibState,
                            t: float) -> CalibState:
