@@ -90,10 +90,21 @@ def main():
     # on the global-only state since the gold has no CPW mesh
     sys.path.insert(0, "tools")
     try:
+        import dataclasses
         from reference_gold import psnr_vs_reference
         pano_global = np.asarray(gold_step(jnp.asarray(frames),
                                            st.state_global))
-        ref = psnr_vs_reference(st, frames, pano=pano_global)
+        # fuse_maps=False replicates the reference's resize-then-warp
+        # two-resample chain (the default fused single-resample is
+        # deliberately sharper, which COSTS parity-PSNR while improving
+        # output quality — both numbers are reported)
+        st2 = Stitcher(dataclasses.replace(cfg, fuse_maps=False,
+                                           enable_local=False,
+                                           use_pallas_remap=False))
+        st2.calibrate(frames)
+        pano_pw = (st2.stitch(frames), st2.state.valid_mask)
+        ref = psnr_vs_reference(st, frames, pano=pano_global,
+                                named_panos={"_prewarp": pano_pw})
     except Exception as e:
         ref = {"psnr_vs_reference_db": None, "error": str(e)[:200]}
 
@@ -190,6 +201,8 @@ def main():
         "psnr_vs_scene_db": round(float(fidelity), 2),
         "psnr_vs_reference_db": ref.get("psnr_vs_reference_db"),
         "psnr_vs_reference_f32_db": ref.get("psnr_vs_reference_f32_db"),
+        "psnr_vs_reference_prewarp_f32_db":
+            ref.get("psnr_vs_reference_prewarp_f32_db"),
         "reference_int_vs_f32_db": ref.get("reference_int_vs_f32_db"),
         "calibration_s": round(calib_s, 2),
         "rewarp_s": round(rewarp_s, 2),

@@ -49,3 +49,22 @@ def test_psnr_vs_reference_small():
     assert out["psnr_vs_reference_db"] >= \
         out["reference_int_vs_f32_db"] - 4.0, out
     assert out["psnr_vs_reference_db"] >= 33.0, out
+
+
+def test_psnr_vs_reference_prewarp_resize_chain():
+    """With compose resize active, the default fused single-resample is
+    deliberately SHARPER than the reference's resize-then-warp chain;
+    fuse_maps=False replicates the reference's two-resample chain and
+    must hit the 40 dB bar against the float gold."""
+    from reference_gold import psnr_vs_reference
+    cfg = StitcherConfig(**{**SMALL, "compose_megapix": 0.03,
+                            "fuse_maps": False})
+    geom, _ = plan_geometry(cfg)
+    assert geom.prewarp and abs(geom.compose_scale - 1.0) > 1e-1
+    rng = np.random.default_rng(3)
+    scene = make_scene(geom.layout.pano_w, geom.layout.pano_h, rng)
+    frames = render_views(cfg, geom, scene)
+    st = Stitcher(cfg)
+    st.calibrate(frames)
+    out = psnr_vs_reference(st, frames)
+    assert out["psnr_vs_reference_f32_db"] >= 40.0, out

@@ -78,19 +78,59 @@ def main(argv=None):
     fj = jax.device_put(frames)
     _sync(fj)
 
+    lay = geom.layout
+
+    # --- roofline denominators (v5e: ~819 GB/s HBM, ~197 bf16 TFLOP/s;
+    # other generations differ — the % numbers are v5e-relative) ---
+    HBM_GBPS, PEAK_TFLOPS = 819.0, 197.0
+    n = cfg.num_images
+    bh, bw = lay.band_h, lay.band_w
+
     warp_j = jax.jit(functools.partial(
         warp_bands, geom=geom, warp_static=st._warp_static))
     bands = warp_j(fj, state)
     _sync(bands)
-    timeit(warp_j, fj, state, iters=it, name="warp_bands",
-           meta={"path": "pallas" if st._warp_static else "gather",
-                 "shape": "6x1080p->6x1280x1664"})
+    # HBM bytes per warp dispatch (resident-source mode): each camera's
+    # bf16 source read once + f32 maps_lane read + f32 band output write.
+    src_b = n * 3 * geom.warp_src_h * ((geom.warp_src_w + 127) // 128 * 128) * 2
+    maps_b = int(np.prod(state.warp_maps_lane.shape)) * 4 \
+        if state.warp_maps_lane is not None else n * 2 * bh * bw * 4
+    out_b = n * 3 * bh * bw * 4
+    warp_bytes = src_b + maps_b + out_b
+    # MXU work: every output px is two 8x8(x128-lane) tent matmuls
+    warp_flops = 2 * 2 * 8 * n * 3 * bh * bw
+    ms = timeit(warp_j, fj, state, iters=it, name="warp_bands",
+                meta={"path": "pallas" if st._warp_static else "gather",
+                      "shape": "6x1080p->6x%dx%d" % (bh, bw),
+                      "hbm_gb": round(warp_bytes / 1e9, 3)})
+    print(json.dumps({"op": "warp_bands.roofline",
+                      "achieved_gbps": round(warp_bytes / 1e6 / ms, 1),
+                      "hbm_pct": round(warp_bytes / 1e6 / ms / HBM_GBPS
+                                       * 100, 1),
+                      "mxu_tflops": round(warp_flops / 1e9 / ms, 2),
+                      "bound": "bandwidth"}))
 
     blend_j = jax.jit(functools.partial(blend_pack, geom=geom))
     pano = blend_j(bands, state)
     _sync(pano)
-    timeit(blend_j, bands, state, iters=it, name="blend_pack",
-           meta={"bands": geom.num_bands})
+    # blend bytes: per level, read bands+weights, write accumulators;
+    # geometric series over levels ~4/3 of L0 for each tensor touched
+    lvl_series = sum(0.25 ** l for l in range(geom.num_bands + 1))
+    blend_bytes = int((n * 3 * bh * bw * 4 * 3      # lap build (r+w+r)
+                       + n * 3 * bh * bw * 4 * 2    # weight mul + place
+                       + 3 * lay.pano_h * lay.pano_w * 4 * 2) * lvl_series)
+    # pyramid convs as banded matmuls: 5-tap separable over rows+cols
+    blend_flops = int(2 * 5 * 2 * n * 3 * bh * bw * lvl_series * 3)
+    ms = timeit(blend_j, bands, state, iters=it, name="blend_pack",
+                meta={"bands": geom.num_bands,
+                      "hbm_gb": round(blend_bytes / 1e9, 3)})
+    print(json.dumps({"op": "blend_pack.roofline",
+                      "achieved_gbps": round(blend_bytes / 1e6 / ms, 1),
+                      "hbm_pct": round(blend_bytes / 1e6 / ms / HBM_GBPS
+                                       * 100, 1),
+                      "mxu_tflops": round(blend_flops / 1e9 / ms, 2),
+                      "mxu_pct": round(blend_flops / 1e9 / ms
+                                       / PEAK_TFLOPS * 100, 1)}))
 
     out_j = jax.jit(functools.partial(output_frame, out_h=1052, out_w=4096))
     timeit(out_j, pano, iters=it, name="output_resize_4k")
@@ -113,6 +153,28 @@ def main(argv=None):
         return blend_j(warp_j(f, state), state)
     timeit(step, fj, iters=it, name="full_step",
            meta={"programs": 2})
+
+    # --- 1-device-mesh sharded strip-warp parity (reproduces the
+    # "sharded strip kernel on hardware" claim on whatever device this
+    # suite runs on: the SAME shard_map + Pallas program multichip uses,
+    # checked bit-wise against the single-chip step) ---
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from video_stitcher_tpu.parallel.shard import (
+        build_sharded_step, pad_cameras, shard_state)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("cam",))
+    state_sh, corners, total = shard_state(state, geom, mesh)
+    f_sh = jax.device_put(pad_cameras(frames, total),
+                          NamedSharding(mesh, P("cam")))
+    sstep = build_sharded_step(geom, mesh, total_cams=total,
+                               warp_static=st._warp_static)
+    pano_sh = np.asarray(sstep(f_sh, state_sh, corners))
+    ref = np.asarray(pano)
+    diff = int(np.abs(pano_sh.astype(np.int32) - ref.astype(np.int32)).max())
+    timeit(sstep, f_sh, state_sh, corners, iters=it,
+           name="sharded_step_1dev",
+           meta={"path": "pallas" if st._warp_static else "gather",
+                 "max_diff_vs_single": diff})
+    assert diff <= 1, f"sharded strip warp mismatch on-device: {diff}"
 
 
 if __name__ == "__main__":

@@ -167,8 +167,9 @@ def reference_gold_pano(frames: np.ndarray, cfg, scale_override=None,
     warper_c = cv2.PyRotationWarper("cylindrical", float(wis * cwa))
     k_c = k_at(cwa)
     if abs(cs - 1.0) > 1e-1:
-        sz = (int(round(cfg.input_width * cs)),
-              int(round(cfg.input_height * cs)))
+        # truncation, not rounding: the reference builds its compose maps
+        # for Size((int)(w*scale), (int)(h*scale)) (calibration.cpp:213)
+        sz = (int(cfg.input_width * cs), int(cfg.input_height * cs))
     else:
         sz = (cfg.input_width, cfg.input_height)
 
@@ -225,7 +226,7 @@ def reference_gold_pano(frames: np.ndarray, cfg, scale_override=None,
     return pano, result_mask, dst_roi
 
 
-def psnr_vs_reference(st, frames, pano=None):
+def psnr_vs_reference(st, frames, pano=None, named_panos=None):
     """Calibrated Stitcher + frames -> dict with psnr_vs_reference_db.
 
     Resamples the gold panorama onto the TPU build's pano grid via the
@@ -233,7 +234,9 @@ def psnr_vs_reference(st, frames, pano=None):
     fractional through layout.v0) and reports PSNR over jointly-valid
     pixels. pano: optionally pass a pre-stitched pano (e.g. from the
     global-only state_global when cfg.enable_local, since the gold has no
-    CPW mesh)."""
+    CPW mesh). named_panos: {suffix: (pano, valid_mask)} extra panoramas
+    compared against the SAME golds (e.g. the fuse_maps=False prewarp
+    chain) — keys become psnr_vs_reference{suffix}_db."""
     import cv2
 
     lay = st.geom.layout
@@ -243,11 +246,12 @@ def psnr_vs_reference(st, frames, pano=None):
 
     golds = {}
 
-    def compare(float_blend):
-        gold, gmask, roi = reference_gold_pano(frames, st.cfg,
-                                               scale_override=lay.scale,
-                                               float_blend=float_blend)
-        golds[float_blend] = (gold, gmask)
+    def compare(float_blend, pano_np, valid_np):
+        if float_blend not in golds:
+            golds[float_blend] = reference_gold_pano(
+                frames, st.cfg, scale_override=lay.scale,
+                float_blend=float_blend)
+        gold, gmask, roi = golds[float_blend]
         xs = np.arange(pw, dtype=np.float64) + lay.u0 - roi[0]
         if lay.wrap:
             # fold onto the gold canvas (whose u-range covers at least
@@ -260,26 +264,33 @@ def psnr_vs_reference(st, frames, pano=None):
                       borderMode=cv2.BORDER_CONSTANT)
         gm = cv2.remap(gmask, mapx, mapy, cv2.INTER_NEAREST,
                        borderMode=cv2.BORDER_CONSTANT)
-        both = valid & (gm > 0)
-        d = ours[both].astype(np.float64) - g[both].astype(np.float64)
+        both = valid_np & (gm > 0)
+        d = pano_np[both].astype(np.float64) - g[both].astype(np.float64)
         mse = np.mean(d * d)
         db = 10 * math.log10(255.0 ** 2 / mse) if mse > 0 else float("inf")
         return round(db, 2), int(both.sum()), gold.shape[:2]
 
-    db_int, npx, gsz = compare(False)
-    db_f32, _, _ = compare(True)
+    db_int, npx, gsz = compare(False, ours, valid)
+    db_f32, _, _ = compare(True, ours, valid)
+    extra = {}
+    for suffix, (p, v) in (named_panos or {}).items():
+        p = np.asarray(p)
+        v = np.asarray(v) > 0
+        extra[f"psnr_vs_reference{suffix}_db"] = compare(False, p, v)[0]
+        extra[f"psnr_vs_reference{suffix}_f32_db"] = compare(True, p, v)[0]
     # the reference chain's own integer-arithmetic noise: its 16S-pyramid
     # output vs the float twin of the SAME chain (same warps, gains,
     # seams, weights) — this bounds what any exact implementation can
     # score against the integer output
-    gi, gim = golds[False]
-    gf, gfm = golds[True]
+    gi, gim, _ = golds[False]
+    gf, gfm, _ = golds[True]
     b = (gim > 0) & (gfm > 0)
     d = gi[b].astype(np.float64) - gf[b].astype(np.float64)
     self_db = 10 * math.log10(255.0 ** 2 / np.mean(d * d))
     return {"psnr_vs_reference_db": db_int,
             "psnr_vs_reference_f32_db": db_f32,
             "reference_int_vs_f32_db": round(self_db, 2),
+            **extra,
             "compared_px": npx,
             "gold_size": list(gsz), "ours_size": [ph, pw]}
 

@@ -66,16 +66,16 @@ class StitchGeometry:
     def pano_h(self) -> int:
         return self.layout.pano_h
 
-    @property
-    def prewarp(self) -> bool:
-        """True when the per-frame path resizes the source to compose scale
-        BEFORE warping (the reference's resize -> remap chain,
-        timed.cpp:75-90) and the fused maps live in compose coordinates.
-        Chosen only under strong minification, where sampling the full-res
-        source directly would both alias and overflow the strip kernel's
-        128-lane tap window; for mild scales the fused single-resample path
-        is sharper and faster."""
-        return self.compose_scale < 0.5
+    #: True when the per-frame path resizes the source to compose scale
+    #: BEFORE warping (the reference's resize -> remap chain,
+    #: timed.cpp:75-90) and the fused maps live in compose coordinates.
+    #: Chosen under strong minification, where sampling the full-res
+    #: source directly would both alias and overflow the strip kernel's
+    #: 128-lane tap window — or by cfg.fuse_maps=False, which forces the
+    #: reference's two-resample chain for bit-closer parity; for mild
+    #: scales the default fused single-resample path is sharper and
+    #: faster (it IS the measured psnr_vs_reference gap in bench.py).
+    prewarp: bool = False
 
     @property
     def warp_src_w(self) -> int:
@@ -102,16 +102,20 @@ def plan_geometry(cfg: StitcherConfig) -> Tuple[StitchGeometry, List[CameraParam
     max_bands = None if cfg.blend_type == "multiband" else 0
     layout = plan_band_layout(cams_compose, cw, ch, cfg.blend_strength,
                               wrap=cfg.wrap_around, max_bands=max_bands)
+    compose_scale = cw / cfg.input_width
+    resizes = abs(compose_scale - 1.0) > 1e-1    # timed.cpp:75 condition
     geom = StitchGeometry(
         layout=layout, num_images=cfg.num_images,
         src_w=cfg.input_width, src_h=cfg.input_height,
         compose_w=cw, compose_h=ch,
-        compose_scale=cw / cfg.input_width,
+        compose_scale=compose_scale,
         work_scale=cfg.work_scale,
         num_bands=layout.num_bands, blend_type=cfg.blend_type,
         blend_precision=("default" if cfg.blend_dtype == "bfloat16"
                          else "highest"),
-        wrap=cfg.wrap_around)
+        wrap=cfg.wrap_around,
+        prewarp=(compose_scale < 0.5
+                 or (not cfg.fuse_maps and resizes)))
     return geom, cams_compose
 
 
