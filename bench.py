@@ -59,11 +59,25 @@ def main():
     st.calibrate(frames)
     calib_s = time.perf_counter() - t0
 
-    # CPW mesh re-solve latency (the reference's "Rewarp",
-    # timed.cpp:427-451; target cadence RECALIB_DEL = 1 s, defs.h:48)
-    st.recalibrate_mesh(frames)              # warm the path
+    # warm calibration: the cold number is dominated by jit compiles of
+    # the feature/mesh programs (tools/profile_calibrate.py attributes
+    # ~90% of cold time to them); a second calibration in a warmed
+    # process measures the real recurring cost
+    st_w = Stitcher(cfg)
     t0 = time.perf_counter()
-    st.recalibrate_mesh(frames)
+    st_w.calibrate(frames)
+    calib_warm_s = time.perf_counter() - t0
+    del st_w
+
+    # CPW mesh re-solve latency (the reference's "Rewarp",
+    # timed.cpp:427-451; target cadence RECALIB_DEL = 1 s, defs.h:48).
+    # Measured as the Runner runs it: on the staging thread's
+    # device-resident frames (no second upload of the frame set).
+    frames_dev = st.stage_frames(frames)
+    _sync(frames_dev)
+    st.recalibrate_mesh(frames_dev)          # warm the path
+    t0 = time.perf_counter()
+    st.recalibrate_mesh(frames_dev)
     rewarp_s = time.perf_counter() - t0
 
     # fidelity vs ground truth (limited by the bilinear minification the
@@ -205,6 +219,7 @@ def main():
             ref.get("psnr_vs_reference_prewarp_f32_db"),
         "reference_int_vs_f32_db": ref.get("reference_int_vs_f32_db"),
         "calibration_s": round(calib_s, 2),
+        "calibration_warm_s": round(calib_warm_s, 2),
         "rewarp_s": round(rewarp_s, 2),
         "pano": [geom.pano_h, geom.pano_w],
         "device": str(jax.devices()[0]),

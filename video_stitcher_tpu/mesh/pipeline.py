@@ -103,6 +103,80 @@ def _salience_all(bands, qn: int, qm: int):
     return jnp.sqrt(jnp.sqrt((var ** 2).sum(axis=1)) + 0.5)
 
 
+_match_jit = jax.jit(knn_ratio_match)
+_ransac_jit = jax.jit(ransac_homography)
+
+
+def prewarm_mesh_programs(cfg, geom) -> None:
+    """Compile the recalibration program set concurrently, ahead of use.
+
+    Cold calibration is ~90% jit compiles of these programs (measured by
+    tools/profile_calibrate.py: 454 s of a 502 s cold calibrate on the
+    dev TPU); compiles release the GIL (and run remotely on tunneled
+    backends), so a thread pool overlaps them. Each job calls its jitted
+    program on zero inputs of the production shapes, which both compiles
+    and populates the in-memory jit cache the pipeline will hit.
+    Stitcher.calibrate runs this in the background while the host does
+    seam/gain/weight work."""
+    import concurrent.futures as cf
+
+    lay = geom.layout
+    c = geom.num_images
+    bh, bw = lay.band_h, lay.band_w
+    kp = cfg.orb_num_features
+    from video_stitcher_tpu.ops.remap_strips import (
+        chunk_stats_device, pad_maps_device, repack_maps_lane)
+
+    def f_warp():
+        fr = jnp.zeros((c, geom.src_h, geom.src_w, 3), jnp.uint8)
+        gm = jnp.zeros((c, 2, bh, bw), jnp.float32)
+        _warp_bands_global_jit(fr, gm, geom).block_until_ready()
+
+    def f_detect():
+        g = jnp.zeros((c, bh, bw), jnp.float32)
+        _detect_all(g, g, max_kp=kp, num_levels=cfg.orb_num_levels,
+                    scale_factor=cfg.orb_scale_factor
+                    ).valid.block_until_ready()
+
+    def f_match_ransac():
+        d = jnp.zeros((kp, 8), jnp.uint32)
+        v = jnp.zeros((kp,), bool)
+        m = _match_jit(d, d, v, v, cfg.lowe_ratio)
+        p = jnp.zeros((kp, 2), jnp.float32)
+        _, inl, _ = _ransac_jit(p, p, m.valid, jax.random.PRNGKey(0))
+        inl.block_until_ready()
+
+    def f_salience():
+        b = jnp.zeros((c, 3, bh, bw), jnp.float32)
+        _salience_all(b, cfg.mesh_height - 1, cfg.mesh_width - 1
+                      ).block_until_ready()
+
+    def f_mesh2map_compose():
+        verts = jnp.zeros((c, cfg.mesh_height, cfg.mesh_width, 2),
+                          jnp.float32)
+        mm = mesh_to_backward_maps(verts, bh, bw)
+        from video_stitcher_tpu.calib.calibration import \
+            compose_fused_maps_device
+        bm = jnp.zeros((c, 2, bh, bw), jnp.float32)
+        compose_fused_maps_device(bm, mm, geom=geom).block_until_ready()
+
+    def f_plan_bits():
+        mp = pad_maps_device(jnp.zeros((c, 2, bh, bw), jnp.float32))
+        warp_w = ((geom.warp_src_w + 127) // 128) * 128
+        chunk_stats_device(mp, geom.warp_src_h,
+                           warp_w).my_min.block_until_ready()
+        repack_maps_lane(mp).block_until_ready()
+
+    jobs = [f_warp, f_detect, f_match_ransac, f_salience,
+            f_mesh2map_compose, f_plan_bits]
+    with cf.ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+        for fut in [ex.submit(j) for j in jobs]:
+            try:
+                fut.result()
+            except Exception:      # prewarm is best-effort
+                pass
+
+
 class MeshPipeline:
     """Holds the jitted feature machinery + CPW solver state across
     recalibrations."""
@@ -124,8 +198,10 @@ class MeshPipeline:
             global_dist=cfg.global_dist, recalib_thresh=cfg.recalib_thresh_px,
             shrink_px=cfg.mesh_shrink_px)
         self.key = jax.random.PRNGKey(rng_seed)
-        self._ransac = jax.jit(ransac_homography)
-        self._match = jax.jit(knn_ratio_match)
+        # module-level shared jits (NOT per-instance): prewarm_mesh_programs
+        # compiles them ahead of the first recalibration
+        self._ransac = _ransac_jit
+        self._match = _match_jit
         # previous-frame keypoints, for the temporal CPW term
         # (featurefinder.cpp matchFeaturesTemporal); populated only when
         # cfg.alphas[3] > 0

@@ -163,6 +163,17 @@ class Stitcher:
 
     # --- calibration -------------------------------------------------
     def calibrate(self, frames: np.ndarray) -> None:
+        prewarm = None
+        if self.cfg.enable_local:
+            # overlap the mesh-program compiles (the dominant cold-
+            # calibration cost) with the host-side calibration work
+            from video_stitcher_tpu.mesh.pipeline import \
+                prewarm_mesh_programs
+            geom0, _ = plan_geometry(self.cfg)
+            prewarm = threading.Thread(
+                target=prewarm_mesh_programs, args=(self.cfg, geom0),
+                daemon=True)
+            prewarm.start()
         geom, state, aux = calibrate(frames, self.cfg)
         self.geom = geom
         self.aux = aux
