@@ -57,13 +57,13 @@ def main():
             return out
         setattr(mod, name, timed)
 
-    wrap(cal, "_calibrate_impl")
+    wrap(cal, "_seam_phase")
     wrap(cal, "plan_band_layout")
-    wrap(cal, "band_backward_maps")
-    wrap(cal, "solve_gains")
-    wrap(cal, "find_seams")
-    wrap(cal, "build_weight_pyramids")
-    wrap(cal, "compose_fused_maps")
+    wrap(cal, "_compose_products_device")
+    wrap(cal, "_weight_pyr_jit")
+    wrap(cal, "compose_fused_maps_device")
+    from video_stitcher_tpu.geometry import cylindrical as cyl
+    wrap(cyl, "band_backward_maps_device")
     wrap(st_mod.Stitcher, "_plan_warp")
     wrap(st_mod.Stitcher, "_build_step")
     wrap(st_mod.Stitcher, "recalibrate_mesh")

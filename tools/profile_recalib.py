@@ -44,7 +44,7 @@ def main():
     from video_stitcher_tpu.config import StitcherConfig
     from video_stitcher_tpu import Stitcher
     from video_stitcher_tpu.calib.calibration import (
-        compose_fused_maps, plan_geometry)
+        plan_geometry)
 
     kw = {}
     if args.kp is not None:

@@ -175,22 +175,63 @@ def calibrate(frames: np.ndarray, cfg: StitcherConfig,
     mesh_maps: optional f32 [N, 2, bandH, bandW] CPW backward maps in band
     coords (identity if None); composed into the fused maps.
 
-    Runs its eager array work on the host CPU backend (control plane); the
-    per-frame jitted step later pulls the resulting state onto the TPU once.
+    The tiny seam-scale control plane (seam warps, gain solve, Voronoi
+    seams) runs eagerly on the host CPU backend; the compose-scale tensor
+    products (band maps, seam-weight sampling, weight pyramids, fused
+    maps — the ~45 s of single-core host math in round 1) run as jitted
+    programs on the default accelerator and STAY there (commit() later
+    skips device-resident leaves).
     """
-    from video_stitcher_tpu.utils.hostdev import host_eager
-    with host_eager():
-        return _calibrate_impl(frames, cfg, mesh_maps)
-
-
-def _calibrate_impl(frames: np.ndarray, cfg: StitcherConfig,
-                    mesh_maps: Optional[np.ndarray] = None):
     assert frames.shape[0] == cfg.num_images
     geom, cams_compose = plan_geometry(cfg)
     lay = geom.layout
-    sc = _plan_seam_canvas(geom, cfg)
+    from video_stitcher_tpu.utils.hostdev import host_eager
+    with host_eager():
+        sc, gains, seam_masks = _seam_phase(frames, cfg, geom, cams_compose)
 
-    # --- seam-scale warps (calibration.cpp:91-127) ---
+    # --- compose-scale products, on the default device ---
+    from video_stitcher_tpu.geometry.cylindrical import \
+        band_backward_maps_device
+    band_maps = band_backward_maps_device(lay, cams_compose)  # [N,2,bh,bw]
+    weights0, overlap_masks = _compose_products_device(
+        jnp.asarray(seam_masks.astype(np.float32)), band_maps,
+        geom=geom, sc=sc)
+
+    if geom.blend_type == "feather":
+        # scipy distance transform: host-only, small configs
+        w0_np = np.asarray(weights0)
+        w = feather_weights((w0_np > 0.5).astype(np.uint8) * 255)
+        weights0 = jnp.asarray(
+            np.where(w0_np > 0, w, 0.0).astype(np.float32))
+
+    weight_pyr, valid_mask = _weight_pyr_jit(weights0, lay)
+
+    # --- fused maps: compose-resize ∘ global warp [∘ mesh] ---
+    fused = compose_fused_maps_device(
+        band_maps, None if mesh_maps is None else jnp.asarray(mesh_maps),
+        geom=geom)
+
+    state = CalibState(
+        fused_maps=fused,
+        gains=jnp.asarray(np.asarray(gains, np.float32)),
+        weight_pyr=weight_pyr,
+        valid_mask=valid_mask,
+    )
+    aux = {
+        "cams_compose": cams_compose,
+        "band_maps": band_maps,          # device-resident
+        "weights0": weights0,
+        "seam_masks": seam_masks,
+        "seam_canvas": sc,
+        "overlap_masks": overlap_masks,
+    }
+    return geom, state, aux
+
+
+def _seam_phase(frames, cfg, geom, cams_compose):
+    """Seam-scale host control plane: warps, gain solve, Voronoi seams
+    (calibration.cpp:91-135) + the enable_local seam dilation (:208-234)."""
+    sc = _plan_seam_canvas(geom, cfg)
     seam_w = int(round(cfg.input_width * cfg.seam_scale))
     seam_h = int(round(cfg.input_height * cfg.seam_scale))
     seam_imgs_small = np.stack([
@@ -205,67 +246,53 @@ def _calibrate_impl(frames: np.ndarray, cfg: StitcherConfig,
         warped[i] = np.moveaxis(out, 0, -1)
         masks[i] = _validity(mx, my, seam_w, seam_h).astype(np.uint8) * 255
 
-    # --- gain + seams (calibration.cpp:131-135) ---
     gains = solve_gains(warped, masks)
     seam_masks = find_seams(masks, periodic_x=geom.wrap)
-
-    # --- compose-scale weights (calibration.cpp:210-240) ---
-    band_maps = band_backward_maps(lay, cams_compose)       # [N,2,bh,bw]
-    weights0 = np.zeros((cfg.num_images, lay.band_h, lay.band_w), np.float32)
     if cfg.enable_local:
         seam_masks = np.asarray(dilate3x3(seam_masks.astype(np.float32)))
-    # sample each seam canvas at band pixel positions (periodic in x)
-    ys = (np.arange(lay.band_h, dtype=np.float64) + lay.v0) * sc.ratio - sc.v0
-    for i in range(cfg.num_images):
-        xs = (np.arange(lay.band_w, dtype=np.float64)
-              + lay.u0 + lay.corners[i]) * sc.ratio
-        mxs, mys = np.meshgrid(xs, ys)
-        border = "wrap" if geom.wrap else "replicate"
-        seam_band = np.asarray(remap_planar(
-            seam_masks[i][None].astype(np.float32),
-            jnp.asarray(mxs.astype(np.float32)),
-            jnp.asarray(mys.astype(np.float32)), border=border))[0]
-        valid = _validity(band_maps[i, 0], band_maps[i, 1],
-                          geom.compose_w, geom.compose_h)
-        weights0[i] = np.where(valid, seam_band / 255.0, 0.0)
+    return sc, gains, seam_masks
 
-    if geom.blend_type == "feather":
-        w = feather_weights((weights0 > 0.5).astype(np.uint8) * 255)
-        weights0 = np.where(weights0 > 0, w, 0.0).astype(np.float32)
 
-    weight_pyr, valid_mask = build_weight_pyramids(weights0, lay)
+@functools.partial(jax.jit, static_argnames=("geom", "sc"))
+def _compose_products_device(seam_masks, band_maps, geom: StitchGeometry,
+                             sc: "SeamCanvas"):
+    """Compose-scale weights + overlap masks as one device program.
 
-    # per-band overlap masks for feature finding: valid here AND >=2 cameras
-    # cover the pano pixel (the principled version of the reference's
-    # hardcoded +-400px bands, meshwarper.cpp:82-115)
+    weights0: seam mask sampled at band pixels AND warp validity
+    (calibration.cpp:224-240 as fed to init_gpu). overlap_masks: valid
+    AND >= 2 cameras cover the pano pixel (the principled version of the
+    reference's hardcoded +-400 px bands, meshwarper.cpp:82-115)."""
     from video_stitcher_tpu.blend.multiband import crop_band, place_bands
-    valid_bands = np.stack([
-        _validity(band_maps[i, 0], band_maps[i, 1],
-                  geom.compose_w, geom.compose_h).astype(np.float32)
-        for i in range(cfg.num_images)])
-    counts = place_bands(jnp.asarray(valid_bands)[:, None], lay, 0)
-    overlap_masks = np.stack([
-        valid_bands[i] * (np.asarray(crop_band(counts, lay, i, 0))[0] >= 2.0)
-        for i in range(cfg.num_images)]).astype(np.float32)
+    lay = geom.layout
+    n = band_maps.shape[0]
+    valid = _validity(band_maps[:, 0], band_maps[:, 1],
+                      geom.compose_w, geom.compose_h)
+    ys = ((jnp.arange(lay.band_h, dtype=jnp.float32) + np.float32(lay.v0))
+          * np.float32(sc.ratio) - np.float32(sc.v0))
+    corners = jnp.asarray(np.asarray(lay.corners, np.float32))
+    xs = ((jnp.arange(lay.band_w, dtype=jnp.float32)[None, :]
+           + np.float32(lay.u0) + corners[:, None])
+          * np.float32(sc.ratio))                        # [N, bw]
+    border = "wrap" if geom.wrap else "replicate"
 
-    # --- fused maps: compose-resize ∘ global warp [∘ mesh] ---
-    fused = compose_fused_maps(geom, band_maps, mesh_maps)
+    def one(sm, xs_i):
+        mxs = jnp.broadcast_to(xs_i[None, :], (lay.band_h, lay.band_w))
+        mys = jnp.broadcast_to(ys[:, None], (lay.band_h, lay.band_w))
+        return remap_planar(sm[None], mxs, mys, border=border)[0]
 
-    state = CalibState(
-        fused_maps=jnp.asarray(fused),
-        gains=jnp.asarray(gains, jnp.float32),
-        weight_pyr=weight_pyr,
-        valid_mask=valid_mask,
-    )
-    aux = {
-        "cams_compose": cams_compose,
-        "band_maps": band_maps,
-        "weights0": weights0,
-        "seam_masks": seam_masks,
-        "seam_canvas": sc,
-        "overlap_masks": overlap_masks,
-    }
-    return geom, state, aux
+    seam_band = jax.vmap(one)(seam_masks, xs)
+    weights0 = jnp.where(valid, seam_band / 255.0, 0.0)
+
+    vb = valid.astype(jnp.float32)
+    counts = place_bands(vb[:, None], lay, 0)
+    overlap_masks = jnp.stack([
+        vb[i] * (crop_band(counts, lay, i, 0)[0] >= 2.0)
+        for i in range(n)])
+    return weights0, overlap_masks
+
+
+_weight_pyr_jit = jax.jit(build_weight_pyramids,
+                          static_argnames=("layout",))
 
 
 def compose_fused_maps(geom: StitchGeometry, band_maps: np.ndarray,
@@ -305,15 +332,18 @@ def _compose_fused_maps_impl(geom, band_maps, mesh_maps=None):
 
 @functools.partial(jax.jit, static_argnames=("geom",))
 def compose_fused_maps_device(band_maps, mesh_maps, geom: StitchGeometry):
-    """Device twin of compose_fused_maps for the recalibration hot path:
-    the ~100 MB fused map tensor is composed, and stays, on the TPU —
-    recalibration never downloads or re-uploads it (the host only sees the
+    """Device twin of compose_fused_maps for the calibration/recalibration
+    hot paths: the ~100 MB fused map tensor is composed, and stays, on
+    the TPU — never downloaded or re-uploaded (the host only sees the
     tiny ChunkStats reductions; see ops/remap_strips.plan_strips_from_stats).
-    band_maps [N, 2, bh, bw] (resident device copy), mesh_maps ditto."""
-    def one(bm, mm):
-        return remap_planar(bm, mm[0], mm[1], border="replicate")
-
-    maps = jax.vmap(one)(band_maps, mesh_maps)
+    band_maps [N, 2, bh, bw] (resident device copy); mesh_maps ditto, or
+    None for the global-only (identity-mesh) maps."""
+    if mesh_maps is not None:
+        def one(bm, mm):
+            return remap_planar(bm, mm[0], mm[1], border="replicate")
+        maps = jax.vmap(one)(band_maps, mesh_maps)
+    else:
+        maps = band_maps
     s = geom.compose_scale
     if not geom.prewarp and abs(s - 1.0) > 1e-1:   # timed.cpp:75 condition
         maps = (maps + 0.5) / s - 0.5

@@ -23,6 +23,7 @@ cylinder coordinate u; v = v0 + y. Angle theta = u / scale.
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import List, Sequence, Tuple
@@ -212,3 +213,46 @@ def band_backward_maps(layout: BandLayout, cams: Sequence[CameraParams]) -> np.n
         out[i, 0] = mx
         out[i, 1] = my
     return out
+
+
+def band_backward_maps_device(layout: BandLayout, cams: Sequence[CameraParams]):
+    """Device twin of band_backward_maps: the 12.8M-point trig runs as one
+    jitted program on the accelerator (~18 s of single-core host f64 math
+    at the 1080p rig; f32 resolves sub-0.001 px at these magnitudes).
+    Returns a device f32 array [N, 2, band_h, band_w]."""
+    import jax
+    krinv = np.stack([(cam.K @ cam.R.T) for cam in cams]).astype(np.float32)
+    return _band_maps_jit(jax.device_put(krinv), layout)
+
+
+@functools.lru_cache(maxsize=1)
+def _get_band_maps_jit():
+    import jax
+
+    def impl(krinv, layout: BandLayout):
+        import jax.numpy as jnp
+        corners = jnp.asarray(np.asarray(layout.corners, np.float32))
+        xs = jnp.arange(layout.band_w, dtype=jnp.float32) \
+            + np.float32(layout.u0)
+        u = xs[None, None, :] + corners[:, None, None]   # [N, 1, bw]
+        v = (jnp.arange(layout.band_h, dtype=jnp.float32)
+             + np.float32(layout.v0))[None, :, None]     # [1, bh, 1]
+        theta = u / np.float32(layout.scale)
+        dx = jnp.sin(theta)
+        dz = jnp.cos(theta)
+        dy = (v / np.float32(layout.scale)) + jnp.zeros_like(theta)
+        k = krinv[:, :, :, None, None]                   # [N, 3, 3, 1, 1]
+        px = k[:, 0, 0] * dx + k[:, 0, 1] * dy + k[:, 0, 2] * dz
+        py = k[:, 1, 0] * dx + k[:, 1, 1] * dy + k[:, 1, 2] * dz
+        pz = k[:, 2, 0] * dx + k[:, 2, 1] * dy + k[:, 2, 2] * dz
+        good = pz > 0
+        safe = jnp.where(good, pz, 1.0)
+        mx = jnp.where(good, px / safe, -1.0)
+        my = jnp.where(good, py / safe, -1.0)
+        return jnp.stack([mx, my], axis=1)               # [N, 2, bh, bw]
+
+    return functools.partial(jax.jit, static_argnames=("layout",))(impl)
+
+
+def _band_maps_jit(krinv, layout):
+    return _get_band_maps_jit()(krinv, layout)

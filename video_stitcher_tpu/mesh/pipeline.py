@@ -188,8 +188,10 @@ class MeshPipeline:
         self.cfg = cfg
         # resident device copy: passing a host array to the jitted warp
         # re-uploads the ~100 MB global maps on EVERY recalibration (the
-        # single biggest cost of the round-1 Rewarp on the dev tunnel)
-        self.global_maps = jax.device_put(np.asarray(global_fused_maps))
+        # single biggest cost of the round-1 Rewarp on the dev tunnel);
+        # commit() keeps already-device-resident maps in place
+        from video_stitcher_tpu.utils.hostdev import commit
+        self.global_maps = commit(jnp.asarray(global_fused_maps))
         self.overlap_masks = jnp.asarray(overlap_masks.astype(np.float32))
         self.solver = CPWSolver(
             num_images=geom.num_images, mesh_w=cfg.mesh_width,
@@ -335,9 +337,11 @@ class MeshPipeline:
 def solve_mesh_maps(frames, stitcher):
     """Entry used by Stitcher.recalibrate_mesh; lazily builds the pipeline."""
     if getattr(stitcher, "_mesh_pipe", None) is None:
-        from video_stitcher_tpu.calib.calibration import compose_fused_maps
+        from video_stitcher_tpu.calib.calibration import \
+            compose_fused_maps_device
         geom = stitcher.geom
-        global_maps = compose_fused_maps(geom, stitcher.aux["band_maps"], None)
+        global_maps = compose_fused_maps_device(
+            jnp.asarray(stitcher.aux["band_maps"]), None, geom=geom)
         stitcher._mesh_pipe = MeshPipeline(
             geom, global_maps, stitcher.aux["overlap_masks"], stitcher.cfg)
     return stitcher._mesh_pipe.run(frames)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from video_stitcher_tpu.calib.calibration import (
-    StitchGeometry, calibrate, compose_fused_maps, plan_geometry,
+    StitchGeometry, calibrate, plan_geometry,
 )
 from video_stitcher_tpu.calib.state import CalibState, load_state, save_state
 from video_stitcher_tpu.config import StitcherConfig
@@ -287,28 +287,22 @@ class Stitcher:
         the caller installs it together with the state (under _swap_lock
         when a stitch thread may be live) so a lazily-built program can
         never pair new statics with an old state's plan."""
+        if fused_dev is None and fused_np is not None:
+            fused_dev = jnp.asarray(fused_np)
         if not self._use_strip_warp():
             if fused_dev is not None:
                 return state._replace(fused_maps=fused_dev), None
-            if fused_np is not None:
-                return state._replace(fused_maps=jnp.asarray(fused_np)), None
             return state, None
         from video_stitcher_tpu.ops.remap_strips import (
-            chunk_stats_device, pad_maps, pad_maps_device,
+            chunk_stats_device, pad_maps_device,
             plan_strips_from_stats, repack_maps_lane)
         prev = self._warp_static or (0, 0)
         geom = self.geom
         warp_w = ((geom.warp_src_w + 127) // 128) * 128   # lane-padded
-        if fused_dev is not None:
-            mpj = pad_maps_device(fused_dev)
-            stats = jax.device_get(
-                chunk_stats_device(mpj, geom.warp_src_h, warp_w))
-        else:
-            mp = pad_maps(np.asarray(state.fused_maps) if fused_np is None
-                          else fused_np)
-            from video_stitcher_tpu.ops.remap_strips import _chunk_stats
-            stats = _chunk_stats(mp, geom.warp_src_h, warp_w)
-            mpj = jnp.asarray(mp)
+        mpj = pad_maps_device(jnp.asarray(state.fused_maps)
+                              if fused_dev is None else fused_dev)
+        stats = jax.device_get(
+            chunk_stats_device(mpj, geom.warp_src_h, warp_w))
         # min sizes keep the jitted shapes stable across mesh recalibrations
         plan = plan_strips_from_stats(stats, tuple(mpj.shape[2:]),
                                       geom.warp_src_h, warp_w,
