@@ -105,3 +105,26 @@ def test_nonwrap_layout():
     assert not lay.wrap
     assert min(lay.corners) == 0
     assert max(c + lay.band_w for c in lay.corners) <= lay.pano_w
+
+
+def test_band_maps_device_matches_host():
+    """The jitted f32 device twin must match the host f64 builder to
+    sub-0.01 px with identical validity (calibration runs on it)."""
+    import numpy as np
+    from video_stitcher_tpu.geometry.cylindrical import (
+        band_backward_maps_device)
+    cfg = StitcherConfig(num_images=6)
+    cams = _compose_cams(cfg)
+    lay = plan_band_layout(cams, 1578, 887, cfg.blend_strength, wrap=True)
+    h = band_backward_maps(lay, cams)
+    d = np.asarray(band_backward_maps_device(lay, cams))
+    # the out-of-frustum sentinel sets BOTH coords to exactly -1; the
+    # frustum test must agree bitwise (the boundary lies far outside any
+    # band for a ring rig). Genuine coordinates near -1.0 may flip sides
+    # of the -1 threshold under f32 rounding, so they are compared by
+    # tolerance, not sign.
+    hs = (h[:, 0] == -1) & (h[:, 1] == -1)
+    ds = (d[:, 0] == -1) & (d[:, 1] == -1)
+    assert (hs == ds).all()
+    m = ~hs[:, None, :, :] & np.ones((1, 2, 1, 1), bool)
+    assert np.abs(h - d)[m].max() < 0.01

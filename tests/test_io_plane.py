@@ -214,3 +214,33 @@ def test_live_pipeline_network_to_network(tmp_path, monkeypatch):
                        cv2.IMREAD_COLOR)
     assert dec is not None and dec.shape[1] == cfg.output_width
     assert (tmp_path / "result.jpg").exists()
+
+
+def test_frame_queue_blocking_push_backpressure():
+    """push(block=True) waits for space (staging backpressure) and
+    returns False once the queue closes."""
+    import threading
+    import time
+    from video_stitcher_tpu.io_plane.queues import FrameQueue
+
+    q = FrameQueue(max_size=1, drop_oldest=False)
+    assert q.push(1, block=True)
+    done = []
+
+    def pusher():
+        done.append(q.push(2, block=True))   # blocks until pop
+        done.append(q.push(3, block=True))   # blocks until close
+
+    th = threading.Thread(target=pusher)
+    th.start()
+    time.sleep(0.15)
+    assert done == []                        # still blocked
+    assert q.pop(timeout=1) == 1
+    for _ in range(100):
+        if len(done) == 1:
+            break
+        time.sleep(0.02)
+    assert done == [True]
+    q.close()
+    th.join(timeout=2)
+    assert done == [True, False]
