@@ -109,9 +109,9 @@ def main():
         pano_global = np.asarray(gold_step(jnp.asarray(frames),
                                            st.state_global))
         # fuse_maps=False replicates the reference's resize-then-warp
-        # two-resample chain (the default fused single-resample is
-        # deliberately sharper, which COSTS parity-PSNR while improving
-        # output quality — both numbers are reported)
+        # two-resample chain; the default fused single-resample is
+        # deliberately sharper (costs ~1 dB of parity-PSNR while
+        # improving output quality — both numbers are reported)
         st2 = Stitcher(dataclasses.replace(cfg, fuse_maps=False,
                                            enable_local=False,
                                            use_pallas_remap=False))
