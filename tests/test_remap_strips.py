@@ -17,7 +17,7 @@ def _run(maps_np, frames_u8, src_h, src_w):
     out = remap_strips(src, repack_maps_lane(jnp.asarray(mp)),
                        jnp.asarray(plan.strip_off),
                        jnp.asarray(plan.chunk_packed),
-                       sh=plan.sh, whc=plan.whc,
+                       sh=plan.sh, whc=plan.whc, slab_w=plan.slab_w,
                        interpret=True)
     return np.asarray(out), mp
 
@@ -83,8 +83,36 @@ def test_remap_strips_strip_mode_odd_nrb(rng, monkeypatch):
     src = prep_source(jnp.asarray(frames))
     out = np.asarray(remap_strips(
         src, repack_maps_lane(jnp.asarray(mp)), jnp.asarray(plan.strip_off),
-        jnp.asarray(plan.chunk_packed), sh=plan.sh, whc=plan.whc,
+        jnp.asarray(plan.chunk_packed), sh=plan.sh, whc=plan.whc, slab_w=plan.slab_w,
         interpret=True))
+    for n in range(2):
+        img = np.moveaxis(frames[n], -1, 0).astype(np.float32)
+        gold = np.asarray(remap_planar(img, mp[n, 0], mp[n, 1],
+                                       border="constant"))
+        np.testing.assert_allclose(out[n], gold, atol=2.0)
+
+
+def test_remap_strips_slab128(rng, monkeypatch):
+    """The experimental 32-aligned 128-lane slab (VST_SLAB_W=128) must
+    stay numerically identical to the gather gold — the plan encodes
+    c32//32 in the packed chunk word and the kernel decodes it."""
+    monkeypatch.setenv("VST_SLAB_W", "128")
+    src_h, src_w = 40, 256
+    bh, bw = 2 * ROW_BLOCK, 128
+    frames = rng.integers(0, 255, (2, src_h, src_w, 3)).astype(np.uint8)
+    gy, gx = np.mgrid[0:bh, 0:bw].astype(np.float32)
+    mx = gx * 1.5 + 3 * np.sin(gy / 3.0) + 40
+    my = gy * 2.0 + 2 * np.cos(gx / 7.0)
+    maps = np.stack([np.stack([mx, my]),
+                     np.stack([mx * 0.9 + 5, my + 3])]).astype(np.float32)
+    mp = pad_maps(maps)
+    plan = plan_strips(mp, src_h, src_w)
+    assert plan.slab_w == 128
+    src = prep_source(jnp.asarray(frames))
+    out = np.asarray(remap_strips(
+        src, repack_maps_lane(jnp.asarray(mp)), jnp.asarray(plan.strip_off),
+        jnp.asarray(plan.chunk_packed), sh=plan.sh, whc=plan.whc,
+        slab_w=plan.slab_w, interpret=True))
     for n in range(2):
         img = np.moveaxis(frames[n], -1, 0).astype(np.float32)
         gold = np.asarray(remap_planar(img, mp[n, 0], mp[n, 1],

@@ -48,14 +48,14 @@ def main(argv=None):
     frames = rng.integers(0, 255, (6, 1080, 1920, 3)).astype(np.uint8)
     st = Stitcher(cfg)
     st.calibrate(frames)
-    sh, whc = st._warp_static
+    sh, whc, slab_w = st._warp_static
     state = st.state
     maps = state.fused_maps
     n, _, bh, bw = maps.shape
     print(f"bands: [{n}, 3, {bh}, {bw}]  sh={sh} whc={whc} "
-          f"nrb={bh // rs.ROW_BLOCK} ncc={bw // rs.CHUNK_W}")
+          f"slab_w={slab_w} nrb={bh // rs.ROW_BLOCK} ncc={bw // rs.CHUNK_W}")
     chunks = n * (bh // rs.ROW_BLOCK) * (bw // rs.CHUNK_W)
-    flops = chunks * (rs.ROW_BLOCK * rs.CHUNK_W) * rs.SLAB_W * 3 * whc * 2
+    flops = chunks * (rs.ROW_BLOCK * rs.CHUNK_W) * slab_w * 3 * whc * 2
     print(f"chunks/frame: {chunks}   x-stage matmul TFLOP/frame: "
           f"{flops / 1e12:.3f}")
 
@@ -76,7 +76,8 @@ def main(argv=None):
 
     timeit(lambda s: rs.remap_strips(
         s, maps_lane, state.warp_strip_off, state.warp_chunk_packed,
-        sh=sh, whc=whc), src, name="remap_strips (production)")
+        sh=sh, whc=whc, slab_w=slab_w), src,
+        name="remap_strips (production)")
 
 
 if __name__ == "__main__":

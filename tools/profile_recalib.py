@@ -168,11 +168,12 @@ def main():
                                                // 128) * 128))
     t = tick("chunk_stats_fetch", t)
 
-    prev = st._warp_static or (0, 0)
+    prev = st._warp_static or (0, 0, 0)
     warp_w = ((geom.warp_src_w + 127) // 128) * 128
     plan = plan_strips_from_stats(stats, tuple(mpj.shape[2:]),
                                   geom.warp_src_h, warp_w,
-                                  min_sh=prev[0], min_whc=prev[1])
+                                  min_sh=prev[0], min_whc=prev[1],
+                                  min_slab_w=prev[2])
     t = tick("plan_strips_host", t)
 
     lane = repack_maps_lane(mpj)

@@ -132,15 +132,18 @@ class StripPlan(NamedTuple):
     Array shapes: strip_off [N, nrb]; chunk_packed [N, nrb, ncc] with
     (window_row//8 | (c128//128)<<8 | dc<<16) packed per chunk — the
     scalar-prefetch arrays live in SMEM (~1 MB), so one word per chunk.
-    Static: sh/whc (strip/window heights), src_hp/src_wp (padded source),
-    bh_p/bw_p (padded band). stats: the ChunkStats the plan was derived
-    from (callers stash them to later plan interpolation unions without
-    touching the maps again).
+    Static: sh/whc (strip/window heights), slab_w (x-slab lane width: 128
+    when every chunk's taps fit a 64-aligned 128-lane window — halves the
+    x-stage MXU work and tent-weight VPU work — else 256), src_hp/src_wp
+    (padded source), bh_p/bw_p (padded band). stats: the ChunkStats the
+    plan was derived from (callers stash them to later plan interpolation
+    unions without touching the maps again).
     """
     strip_off: np.ndarray
     chunk_packed: np.ndarray
     sh: int
     whc: int
+    slab_w: int
     src_hp: int
     src_wp: int
     bh_p: int
@@ -220,7 +223,7 @@ def chunk_stats_device(maps, src_h: int, src_w: int):
 def plan_strips(maps: np.ndarray, src_h: int, src_w: int,
                 row_slack: int = 8, min_sh: int = 0,
                 min_whc: int = 0, maps_b: np.ndarray | None = None,
-                channels: int = 3) -> StripPlan:
+                channels: int = 3, min_slab_w: int = 0) -> StripPlan:
     """Precompute strip/chunk offsets for padded maps [N, 2, bh_p, bw_p].
 
     The x window is a fixed 128 lanes; the plan asserts per-chunk x spans
@@ -243,13 +246,15 @@ def plan_strips(maps: np.ndarray, src_h: int, src_w: int,
         stats = stats.union(_chunk_stats(maps_b, src_h, src_w))
     return plan_strips_from_stats(stats, (bh, bw), src_h, src_w,
                                   row_slack=row_slack, min_sh=min_sh,
-                                  min_whc=min_whc, channels=channels)
+                                  min_whc=min_whc, channels=channels,
+                                  min_slab_w=min_slab_w)
 
 
 def plan_strips_from_stats(stats: ChunkStats, band_shape, src_h: int,
                            src_w: int, row_slack: int = 8, min_sh: int = 0,
                            min_whc: int = 0,
-                           channels: int = 3) -> StripPlan:
+                           channels: int = 3,
+                           min_slab_w: int = 0) -> StripPlan:
     """Plan strips from per-chunk stats (host np arrays; see ChunkStats).
     band_shape = (bh_p, bw_p), the padded band dims the stats came from."""
     bh, bw = band_shape
@@ -320,17 +325,43 @@ def plan_strips_from_stats(stats: ChunkStats, band_shape, src_h: int,
     assert bool(cover[~empty].all()), "strip plan failed to cover all taps"
 
     c0 = np.clip(np.floor(mx_min) - 1, 0, src_wp - WIN_W).astype(np.int32)
-    c128 = np.minimum((c0 // 128) * 128, src_wp - SLAB_W).astype(np.int32)
-    dc = (c0 - c128).astype(np.int32)
-    assert (chunk_row // ROW_ALIGN).max() <= 0xFF \
-        and (c128 // 128).max() <= 0xFF and dc.max() <= 0x1FF, \
-        "source too large for packed chunk encoding"
-    packed = ((chunk_row // ROW_ALIGN)
-              | ((c128 // 128) << 8) | (dc << 16)).astype(np.int32)
+    # x-slab width. A 32-aligned 128-lane slab (slab_w=128) halves the
+    # x-stage matmul K and the tent-weight element count, but MEASURED
+    # EQUAL to the 256 slab on the 1080p rig (10.5 vs 10.1 ms/frame):
+    # the kernel is VPU-issue-bound on weight construction and data
+    # movement (~400 vector issues/chunk vs ~130 MXU cycles), and the
+    # unaligned 32-step slab reads add lane rotations that cancel the
+    # savings. Default stays 256 (the aligned, proven path);
+    # VST_SLAB_W=128 re-enables the narrow slab for experiments on other
+    # rigs/generations. min_slab_w keeps the choice stable across
+    # recalibrations (a change re-jits like sh/whc growth).
+    import os
+    env_slab = os.environ.get("VST_SLAB_W")
+    c32 = np.minimum((c0 // 32) * 32, src_wp - 128).astype(np.int32)
+    fits32 = bool(np.all(empty | (np.floor(mx_max) + 2 <= c32 + 128)))
+    slab_w = SLAB_W
+    slab_w = max(slab_w, min_slab_w)
+    if env_slab and (int(env_slab) == SLAB_W
+                     or (int(env_slab) == 128 and fits32)):
+        slab_w = int(env_slab)
+    if slab_w == 128:
+        assert (chunk_row // ROW_ALIGN).max() <= 0xFF \
+            and (c32 // 32).max() <= 0x3FF, \
+            "source too large for packed chunk encoding"
+        packed = ((chunk_row // ROW_ALIGN)
+                  | ((c32 // 32) << 8)).astype(np.int32)
+    else:
+        c128 = np.minimum((c0 // 128) * 128, src_wp - SLAB_W).astype(np.int32)
+        dc = (c0 - c128).astype(np.int32)
+        assert (chunk_row // ROW_ALIGN).max() <= 0xFF \
+            and (c128 // 128).max() <= 0xFF and dc.max() <= 0x1FF, \
+            "source too large for packed chunk encoding"
+        packed = ((chunk_row // ROW_ALIGN)
+                  | ((c128 // 128) << 8) | (dc << 16)).astype(np.int32)
     packed = np.where(empty, np.int32(-1), packed)   # sign bit = skip chunk
     return StripPlan(strip_off=strip_off, chunk_packed=packed, sh=sh,
-                     whc=whc, src_hp=src_hp, src_wp=src_wp, bh_p=bh, bw_p=bw,
-                     stats=stats)
+                     whc=whc, slab_w=slab_w, src_hp=src_hp, src_wp=src_wp,
+                     bh_p=bh, bw_p=bw, stats=stats)
 
 
 def prep_source(frames_u8):
@@ -380,7 +411,8 @@ def repack_maps_lane(maps):
 
 
 def _kernel(strip_off, chunk_packed, gains, src_hbm, map_ref,
-            out_ref, strip, sem, *, sh, whc, ncc, channels, n_cam, n_rb):
+            out_ref, strip, sem, *, sh, whc, slab_w, ncc, channels,
+            n_cam, n_rb):
     cam = pl.program_id(0)
     rb = pl.program_id(1)
     full_src = sh == src_hbm.shape[2]   # resident-source mode (static)
@@ -449,7 +481,7 @@ def _kernel(strip_off, chunk_packed, gains, src_hbm, map_ref,
 
     # loop-invariant constants (hoisted by Mosaic):
     # tap-index iotas along sublanes, in the weights' MXU-RHS layout
-    kx = jax.lax.broadcasted_iota(jnp.int32, (SLAB_W, PX), 0)
+    kx = jax.lax.broadcasted_iota(jnp.int32, (slab_w, PX), 0)
     kx = kx.astype(jnp.float32)
     ky = jax.lax.broadcasted_iota(jnp.int32, (whc, PX), 0).astype(jnp.float32)
     # re-tile mask [ch*8, 256]: row (c, r) keeps lanes with q//CHUNK_W == r
@@ -465,11 +497,14 @@ def _kernel(strip_off, chunk_packed, gains, src_hbm, map_ref,
     def chunk_rows(k, v):
         """One chunk -> per-channel out-px rows, stacked [channels, 256]."""
         r0 = (v & 0xFF) * ROW_ALIGN
-        c128 = ((v >> 8) & 0xFF) * 128
+        if slab_w == 128:
+            c_off = ((v >> 8) & 0x3FF) * 32    # 32-aligned 128-lane slab
+        else:
+            c_off = ((v >> 8) & 0xFF) * 128
         # chunk map coords as [1, 256] lane vectors — no relayout
         lx = map_ref[0, 0, 0, pl.ds(k * PX, PX)][None, :]
         ly = map_ref[0, 0, 1, pl.ds(k * PX, PX)][None, :]
-        lx = lx - c128.astype(jnp.float32)
+        lx = lx - c_off.astype(jnp.float32)
         ly = ly - (s0 + r0).astype(jnp.float32)
 
         # Bilinear weights ARE the tent function relu(1 - |k - l|):
@@ -483,8 +518,8 @@ def _kernel(strip_off, chunk_packed, gains, src_hbm, map_ref,
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(ky - ly))      # [whc, 256] f32
 
         slab = jnp.concatenate(
-            [strip[slot, c, pl.ds(r0, whc), pl.ds(c128, SLAB_W)]
-             for c in range(channels)], axis=0)        # [C*whc, SLAB_W]
+            [strip[slot, c, pl.ds(r0, whc), pl.ds(c_off, slab_w)]
+             for c in range(channels)], axis=0)        # [C*whc, slab_w]
 
         # x-stage: slab LHS contracts its lane (x) axis — natural MXU
         # orientation, no operand transposes
@@ -544,14 +579,18 @@ def _kernel(strip_off, chunk_packed, gains, src_hbm, map_ref,
     jax.lax.fori_loop(0, ncc // GROUP, group, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("sh", "whc", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("sh", "whc", "slab_w", "interpret"))
 def remap_strips(src_planar, maps_lane, strip_off, chunk_packed, *,
-                 sh: int, whc: int, gains=None, interpret: bool = False):
+                 sh: int, whc: int, slab_w: int, gains=None,
+                 interpret: bool = False):
     """src_planar: bf16 [N, C, Hp, Wp] (prep_source); maps_lane: f32
     [N, nrb, 2, ncc*256] (repack_maps_lane of pad_maps output); offsets
-    from plan_strips; gains: optional f32 [N] per-camera multiplier fused
-    into the output write (with the u8-range clamp). Returns f32
-    [N, C, bh_p, bw_p].
+    from plan_strips; sh/whc/slab_w: the plan's static sizes (the packed
+    chunk encoding differs between slab widths — always pass the
+    SAME plan's values together); gains: optional f32 [N] per-camera
+    multiplier fused into the output write (with the u8-range clamp).
+    Returns f32 [N, C, bh_p, bw_p].
     """
     n, ch, hp, wp = src_planar.shape
     _, nrb, _, nl = maps_lane.shape
@@ -578,8 +617,8 @@ def remap_strips(src_planar, maps_lane, strip_off, chunk_packed, *,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_kernel, sh=sh, whc=whc, ncc=ncc, channels=ch,
-                               n_cam=n, n_rb=nrb)
+    kernel = functools.partial(_kernel, sh=sh, whc=whc, slab_w=slab_w,
+                               ncc=ncc, channels=ch, n_cam=n, n_rb=nrb)
     # the double-buffered strip scratch alone can exceed Mosaic's default
     # 16 MB scoped-vmem limit at 4K+ sources (2*C*sh*W bf16); size the
     # limit to the actual allocation plus headroom for blocks/registers,

@@ -93,7 +93,7 @@ def build_sharded_step(geom: StitchGeometry, mesh: Mesh, axis: str = "cam",
     """Returns jit(frames_u8 [total, H, W, 3] (or NV12 [total, H*3/2, W])
     sharded on cameras, state, corners) -> replicated u8 pano.
 
-    warp_static = (sh, whc) runs each device's local warp through the
+    warp_static = (sh, whc, slab_w) runs each device's local warp through the
     production Pallas strip kernel (the state must carry the sharded strip
     plan, shard_state handles it); None = XLA gather (CPU dry-runs).
     out_size = (oh, ow) fuses the consumer resize into the same program
@@ -109,9 +109,9 @@ def build_sharded_step(geom: StitchGeometry, mesh: Mesh, axis: str = "cam",
             from video_stitcher_tpu.ops.remap_strips import remap_strips
             from video_stitcher_tpu.pipeline.stitcher import _prep_strip_source
             src = _prep_strip_source(frames, geom)
-            sh, whc = warp_static
+            sh, whc, slab_w = warp_static
             bands = remap_strips(src, wml, so, cp, sh=sh, whc=whc,
-                                 gains=gains)
+                                 slab_w=slab_w, gains=gains)
             bands = bands[:, :, :lay.band_h, :lay.band_w]
         else:
             from video_stitcher_tpu.calib.calibration import prewarp_source

@@ -67,17 +67,19 @@ def warp_bands(frames_u8, state: CalibState, geom: StitchGeometry,
                warp_static=None):
     """u8 [N, H, W, 3] -> gain-compensated warped bands f32 [N, 3, bh, bw].
 
-    warp_static = (sh, whc) selects the production Pallas strip-warp kernel
-    (ops/remap_strips) — the state then carries padded maps + the strip
-    plan; None falls back to the XLA gather (CPU tests / odd geometries).
+    warp_static = (sh, whc, slab_w) selects the production Pallas
+    strip-warp kernel (ops/remap_strips) — the state then carries padded
+    maps + the strip plan; None falls back to the XLA gather (CPU tests /
+    odd geometries).
     """
     lay = geom.layout
     if warp_static is not None:
         from video_stitcher_tpu.ops.remap_strips import remap_strips
-        sh, whc = warp_static
+        sh, whc, slab_w = warp_static
         src = _prep_strip_source(frames_u8, geom)
         bands = remap_strips(src, state.warp_maps_lane, state.warp_strip_off,
                              state.warp_chunk_packed, sh=sh, whc=whc,
+                             slab_w=slab_w,
                              gains=state.gains)   # gain fused in-kernel
         return bands[:, :, :lay.band_h, :lay.band_w]
     else:
@@ -296,7 +298,7 @@ class Stitcher:
         from video_stitcher_tpu.ops.remap_strips import (
             chunk_stats_device, pad_maps_device,
             plan_strips_from_stats, repack_maps_lane)
-        prev = self._warp_static or (0, 0)
+        prev = self._warp_static or (0, 0, 0)
         geom = self.geom
         warp_w = ((geom.warp_src_w + 127) // 128) * 128   # lane-padded
         mpj = pad_maps_device(jnp.asarray(state.fused_maps)
@@ -306,7 +308,8 @@ class Stitcher:
         # min sizes keep the jitted shapes stable across mesh recalibrations
         plan = plan_strips_from_stats(stats, tuple(mpj.shape[2:]),
                                       geom.warp_src_h, warp_w,
-                                      min_sh=prev[0], min_whc=prev[1])
+                                      min_sh=prev[0], min_whc=prev[1],
+                                      min_slab_w=prev[2])
         state = state._replace(
             fused_maps=mpj,
             warp_strip_off=jnp.asarray(plan.strip_off),
@@ -316,7 +319,7 @@ class Stitcher:
         # endpoint-union plan without ever touching the map tensors
         self._plan_stats_prev = getattr(self, "_plan_stats_for", None)
         self._plan_stats_for = (state.warp_maps_lane, plan.stats)
-        return state, (plan.sh, plan.whc)
+        return state, (plan.sh, plan.whc, plan.slab_w)
 
     def save_calibration(self, path: str) -> None:
         save_state(path, self.state)
@@ -534,7 +537,7 @@ class Stitcher:
                 _chunk_stats, plan_strips_from_stats)
             geom = self.geom
             warp_w = ((geom.warp_src_w + 127) // 128) * 128
-            prev = self._warp_static or (0, 0)
+            prev = self._warp_static or (0, 0, 0)
 
             def stats_for(wml, fused):
                 # tiny per-chunk stats rotated by _plan_warp — the union
@@ -553,8 +556,9 @@ class Stitcher:
                 plan = plan_strips_from_stats(
                     stats, tuple(new.fused_maps.shape[2:]),
                     geom.warp_src_h, warp_w,
-                    min_sh=prev[0], min_whc=prev[1])
-                if (plan.sh, plan.whc) == self._warp_static:
+                    min_sh=prev[0], min_whc=prev[1],
+                    min_slab_w=prev[2])
+                if (plan.sh, plan.whc, plan.slab_w) == self._warp_static:
                     so = jnp.asarray(plan.strip_off)
                     cp = jnp.asarray(plan.chunk_packed)
             except (ValueError, AssertionError):
