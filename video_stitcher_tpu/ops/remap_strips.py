@@ -325,20 +325,31 @@ def plan_strips_from_stats(stats: ChunkStats, band_shape, src_h: int,
     assert bool(cover[~empty].all()), "strip plan failed to cover all taps"
 
     c0 = np.clip(np.floor(mx_min) - 1, 0, src_wp - WIN_W).astype(np.int32)
-    # x-slab width. A 32-aligned 128-lane slab (slab_w=128) halves the
-    # x-stage matmul K and the tent-weight element count, but MEASURED
-    # EQUAL to the 256 slab on the 1080p rig (10.5 vs 10.1 ms/frame):
-    # the kernel is VPU-issue-bound on weight construction and data
-    # movement (~400 vector issues/chunk vs ~130 MXU cycles), and the
-    # unaligned 32-step slab reads add lane rotations that cancel the
-    # savings. Default stays 256 (the aligned, proven path);
-    # VST_SLAB_W=128 re-enables the narrow slab for experiments on other
-    # rigs/generations. min_slab_w keeps the choice stable across
-    # recalibrations (a change re-jits like sh/whc growth).
+    # x-slab width. Negative results, measured on v5e and recorded for
+    # the next optimization round (the kernel is VPU-issue-bound on
+    # tent-weight construction: ~400 vector issues/chunk vs ~130 MXU
+    # cycles, 3% of HBM):
+    #  * slab_w=128 at sub-128 window alignment DOES NOT COMPILE on
+    #    hardware — Mosaic requires dynamic lane-slice starts to be
+    #    multiples of 128 ("cannot statically prove that index in
+    #    dimension 3 is a multiple of 128"); it runs only in interpret
+    #    mode, kept as a covered experiment via VST_SLAB_W=128.
+    #  * PRECOMPUTING the x tent weights per recalibration and streaming
+    #    them (they depend only on the maps) removes the VPU work but is
+    #    bandwidth-negative: at the forced 256-lane K the weight tensor
+    #    is 6.5 GB/frame of DMA (~8 ms at v5e HBM) vs the ~5 ms of VPU
+    #    it saves; at 128 lanes it cannot compile (above).
+    # So the production path stays the aligned 256 slab with in-kernel
+    # weights; a future win needs cheaper weight generation (e.g. packed
+    # sub-bf16 arithmetic) or hardware with finer lane-slice granularity.
     import os
     env_slab = os.environ.get("VST_SLAB_W")
     c32 = np.minimum((c0 // 32) * 32, src_wp - 128).astype(np.int32)
-    fits32 = bool(np.all(empty | (np.floor(mx_max) + 2 <= c32 + 128)))
+    # (right-edge windows may "miss" taps pointing past the padded
+    # source — those read zero padding on every path, so they don't
+    # count against the fit)
+    fits32 = bool(np.all(empty | (np.floor(mx_max) + 2 <= c32 + 128)
+                         | (c32 + 128 == src_wp)))
     slab_w = SLAB_W
     slab_w = max(slab_w, min_slab_w)
     if env_slab and (int(env_slab) == SLAB_W
