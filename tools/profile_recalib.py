@@ -91,9 +91,16 @@ def main():
         return time.perf_counter()
 
     t = time.perf_counter()
-    bands = mp._warp_bands_global_jit(frames, pipe.global_maps, geom)
-    _sync(bands)
-    t = tick("warp_bands_global", t)
+    if pipe._strip is not None:
+        bands = mp._warp_bands_strip_jit(
+            jnp.asarray(frames), pipe._strip["lane"], pipe._strip["so"],
+            pipe._strip["cp"], geom=geom, warp_static=pipe._strip["static"])
+        _sync(bands)
+        t = tick("warp_bands_strip", t)
+    else:
+        bands = mp._warp_bands_global_jit(frames, pipe.global_maps, geom)
+        _sync(bands)
+        t = tick("warp_bands_global", t)
 
     gray = (bands[:, 0] * 0.299 + bands[:, 1] * 0.587 + bands[:, 2] * 0.114)
     nonblack = (jnp.max(bands, axis=1) > 0).astype(jnp.float32)

@@ -69,10 +69,85 @@ def invert_forward_field(fwd, iters: int = 3):
     return jnp.stack([bx, by])
 
 
-@functools.partial(jax.jit, static_argnames=("band_h", "band_w", "iters"))
-def mesh_to_backward_maps(verts, band_h: int, band_w: int, iters: int = 3):
+def _sample_bilinear_replicate_np(field, x, y):
+    """field [C, 2, H, W]; x, y [H', W'] f32 -> [C, 2, H', W'] (numpy,
+    replicate border)."""
+    h, w = field.shape[-2], field.shape[-1]
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, w - 1)
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = np.clip(x - x0, 0.0, 1.0).astype(np.float32)
+    fy = np.clip(y - y0, 0.0, 1.0).astype(np.float32)
+    f00 = field[..., y0, x0]
+    f01 = field[..., y0, x1]
+    f10 = field[..., y1, x0]
+    f11 = field[..., y1, x1]
+    top = f00 + fx * (f01 - f00)
+    bot = f10 + fx * (f11 - f10)
+    return top + fy * (bot - top)
+
+
+def coarse_backward_disp(verts_np: np.ndarray, band_h: int, band_w: int,
+                         iters: int = 3, step: int = 8) -> np.ndarray:
+    """verts f32 [C, N, M, 2] -> backward DISPLACEMENT field on a step-px
+    coarse grid, f32 [C, 2, hc, wc], full-res pixel units (host numpy).
+
+    The displacement field comes from an N x M (~10x10) mesh whose cells
+    span >100 px, so a step-px grid oversamples it ~16x; the inverted
+    backward displacement (equally smooth) upsamples to full res with
+    the align-corners matmuls of upsample_mesh. The Picard fixed point
+    runs here on the host: the grid is tiny (~35k points, ~ms in numpy)
+    and the irregular gathers it needs are the one op the TPU is bad at
+    — the round-1 full-res device inversion was the Rewarp's biggest
+    device cost (~1.1 s), and the fused coarse-grid device variant
+    reproducibly crashed the axon TPU worker (XLA/Mosaic runtime fault;
+    see git history) — so the host does the 400 KB inversion and the
+    device does the dense MXU upsample."""
+    c, n, m, _ = verts_np.shape
+    v = np.moveaxis(verts_np.astype(np.float32), -1, 1)      # [C, 2, N, M]
+    hc = max(n, (band_h - 1 + step - 1) // step + 1)
+    wc = max(m, (band_w - 1 + step - 1) // step + 1)
+    mh = _upsample_matrix(n, hc)                             # [hc, N]
+    mw = _upsample_matrix(m, wc)                             # [wc, M]
+    fwd = np.einsum("hn,cznm,wm->czhw", mh, v, mw)           # full-res px
+    sy = (band_h - 1) / (hc - 1)
+    sx = (band_w - 1) / (wc - 1)
+    gy, gx = np.mgrid[0:hc, 0:wc].astype(np.float32)
+    disp = np.stack([fwd[:, 0] - gx * sx, fwd[:, 1] - gy * sy], axis=1)
+    # Picard in coarse-grid units: B(q) = q - D(B(q))
+    ux = np.broadcast_to(gx, (c, hc, wc)).copy()
+    uy = np.broadcast_to(gy, (c, hc, wc)).copy()
+    for _ in range(iters):
+        s = np.empty_like(disp)
+        for ci in range(c):
+            s[ci] = _sample_bilinear_replicate_np(disp[ci], ux[ci], uy[ci])
+        ux = gx - s[:, 0] / np.float32(sx)
+        uy = gy - s[:, 1] / np.float32(sy)
+    return np.stack([(gx - ux) * np.float32(sx),
+                     (gy - uy) * np.float32(sy)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("band_h", "band_w"))
+def upsample_backward_disp(disp_c, band_h: int, band_w: int):
+    """Coarse backward displacement [C, 2, hc, wc] -> dense backward maps
+    f32 [C, 2, band_h, band_w] (device: align-corners MXU matmuls)."""
+    bd = upsample_mesh(disp_c, band_h, band_w)
+    gy_f, gx_f = jnp.mgrid[0:band_h, 0:band_w]
+    return jnp.stack([gx_f.astype(jnp.float32) - bd[:, 0],
+                      gy_f.astype(jnp.float32) - bd[:, 1]], axis=1)
+
+
+def mesh_to_backward_maps(verts, band_h: int, band_w: int, iters: int = 3,
+                          step: int = 8):
     """verts f32 [C, N, M, 2] warped vertex positions -> backward maps
-    f32 [C, 2, band_h, band_w] for the per-frame mesh warp."""
-    v = jnp.moveaxis(verts.astype(jnp.float32), -1, 1)   # [C, 2, N, M]
-    fwd = upsample_mesh(v, band_h, band_w)               # [C, 2, bh, bw]
-    return jax.vmap(lambda f: invert_forward_field(f, iters))(fwd)
+    f32 [C, 2, band_h, band_w] for the per-frame mesh warp (device array).
+
+    Host coarse-grid Picard inversion (coarse_backward_disp) + device
+    dense upsample (upsample_backward_disp); ~1.6 MB crosses host->device
+    per recalibration. Replaces the reference's forward-splat inversion
+    (MeshWarper::convertMeshesToMap, meshwarper.cpp:823-886)."""
+    verts_np = np.asarray(jax.device_get(verts))
+    disp_c = coarse_backward_disp(verts_np, band_h, band_w,
+                                  iters=iters, step=step)
+    return upsample_backward_disp(jnp.asarray(disp_c), band_h, band_w)

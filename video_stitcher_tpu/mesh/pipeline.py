@@ -73,6 +73,21 @@ _warp_bands_global_jit = jax.jit(_warp_bands_global,
                                  static_argnames=("geom",))
 
 
+@functools.partial(jax.jit, static_argnames=("geom", "warp_static"))
+def _warp_bands_strip_jit(frames, maps_lane, strip_off, chunk_packed,
+                          geom, warp_static):
+    """Strip-kernel twin of _warp_bands_global (no gain — the mesh is
+    estimated on ungained, globally-warped bands, meshwarper.cpp:64-73)."""
+    from video_stitcher_tpu.ops.remap_strips import remap_strips
+    from video_stitcher_tpu.pipeline.stitcher import _prep_strip_source
+    lay = geom.layout
+    src = _prep_strip_source(frames, geom)
+    sh, whc, slab_w = warp_static
+    bands = remap_strips(src, maps_lane, strip_off, chunk_packed,
+                         sh=sh, whc=whc, slab_w=slab_w)
+    return bands[:, :, :lay.band_h, :lay.band_w]
+
+
 @functools.partial(jax.jit, static_argnames=("qn", "qm"))
 def _salience_all(bands, qn: int, qm: int):
     """Device twin of CPWSolver._salience for the whole camera batch:
@@ -87,17 +102,23 @@ def _salience_all(bands, qn: int, qm: int):
     yy, xx = np.mgrid[0:ch, 0:cw]
     fy = (yy + 0.5) / ch
     fx = (xx + 0.5) / cw
-    masks = jnp.asarray(np.stack([
+    masks_np = np.stack([
         fy <= fx, fy >= fx,
         fy <= 1 - fx, fy >= 1 - fx,
-    ]).astype(np.float32))                         # [4, ch, cw]
-    cnt = masks.sum(axis=(1, 2))                   # [4]
+    ]).astype(np.float32)                          # [4, ch, cw]
+    cnt = jnp.asarray(masks_np.sum(axis=(1, 2)))   # [4]
     # pre-center by the cell mean so the f32 s2 - mean^2 cancellation
     # happens among small numbers
     cell_mean = img.mean(axis=(3, 5), keepdims=True)
     xc = img - cell_mean
-    s1 = jnp.einsum("ncyhxw,thw->ncyxt", xc, masks)
-    s2 = jnp.einsum("ncyhxw,thw->ncyxt", xc * xc, masks)
+    # the masked triangle sums as ONE [R, K] x [K, 4] matmul each (an
+    # einsum with a tiny contracted output lowered per-element on TPU and
+    # dominated the salience cost; the transpose is a single relayout)
+    y = jnp.transpose(xc, (0, 1, 2, 4, 3, 5)).reshape(
+        c * ch3 * qn * qm, ch * cw)
+    m2 = jnp.asarray(masks_np.reshape(4, ch * cw).T)     # [K, 4]
+    s1 = (y @ m2).reshape(c, ch3, qn, qm, 4)
+    s2 = ((y * y) @ m2).reshape(c, ch3, qn, qm, 4)
     mean = s1 / cnt
     var = jnp.maximum(s2 / cnt - mean * mean, 0.0)  # [c, 3, qn, qm, 4]
     return jnp.sqrt(jnp.sqrt((var ** 2).sum(axis=1)) + 0.5)
@@ -113,11 +134,15 @@ def prewarm_mesh_programs(cfg, geom) -> None:
     Cold calibration is ~90% jit compiles of these programs (measured by
     tools/profile_calibrate.py: 454 s of a 502 s cold calibrate on the
     dev TPU); compiles release the GIL (and run remotely on tunneled
-    backends), so a thread pool overlaps them. Each job calls its jitted
-    program on zero inputs of the production shapes, which both compiles
-    and populates the in-memory jit cache the pipeline will hit.
-    Stitcher.calibrate runs this in the background while the host does
-    seam/gain/weight work."""
+    backends), so a thread pool overlaps them. Each job AOT-lowers and
+    compiles its program at the production shapes (``jit(...).lower(
+    ShapeDtypeStruct...).compile()``) — compile-only, no device arrays
+    and no enqueued execution, so the prewarm never interleaves device
+    work with the calibration running on the main thread (concurrent
+    zeros-executions during calibrate faulted the tunneled dev TPU).
+    The pipeline's later first calls retrace and hit the persistent XLA
+    compile cache, paying only tracing time. Stitcher.calibrate runs
+    this in the background while the host does seam/gain/weight work."""
     import concurrent.futures as cf
 
     lay = geom.layout
@@ -125,50 +150,65 @@ def prewarm_mesh_programs(cfg, geom) -> None:
     bh, bw = lay.band_h, lay.band_w
     kp = cfg.orb_num_features
     from video_stitcher_tpu.ops.remap_strips import (
-        chunk_stats_device, pad_maps_device, repack_maps_lane)
+        ROW_ALIGN, _round_up, chunk_stats_device, pad_maps_device,
+        repack_maps_lane)
+
+    def st(shape, dtype=jnp.float32):
+        return jax.ShapeDtypeStruct(shape, dtype)
+
+    frames_st = (st((c, geom.src_h, geom.src_w, 3), jnp.uint8)
+                 if not geom.prewarp
+                 else st((c, geom.src_h, geom.src_w, 3), jnp.uint8))
+    maps_st = st((c, 2, bh, bw))
+    # pad_maps_device output shape (rows to sublane tile, lanes to 128)
+    ph, pw = _round_up(bh, ROW_ALIGN), _round_up(bw, 128)
+    pmaps_st = st((c, 2, ph, pw))
+    warp_w = ((geom.warp_src_w + 127) // 128) * 128
 
     def f_warp():
-        fr = jnp.zeros((c, geom.src_h, geom.src_w, 3), jnp.uint8)
-        gm = jnp.zeros((c, 2, bh, bw), jnp.float32)
-        _warp_bands_global_jit(fr, gm, geom).block_until_ready()
+        _warp_bands_global_jit.lower(frames_st, maps_st, geom).compile()
 
     def f_detect():
-        g = jnp.zeros((c, bh, bw), jnp.float32)
-        _detect_all(g, g, max_kp=kp, num_levels=cfg.orb_num_levels,
-                    scale_factor=cfg.orb_scale_factor
-                    ).valid.block_until_ready()
+        g = st((c, bh, bw))
+        _detect_all.lower(g, g, max_kp=kp, num_levels=cfg.orb_num_levels,
+                          scale_factor=cfg.orb_scale_factor).compile()
 
-    def f_match_ransac():
-        d = jnp.zeros((kp, 8), jnp.uint32)
-        v = jnp.zeros((kp,), bool)
-        m = _match_jit(d, d, v, v, cfg.lowe_ratio)
-        p = jnp.zeros((kp, 2), jnp.float32)
-        _, inl, _ = _ransac_jit(p, p, m.valid, jax.random.PRNGKey(0))
-        inl.block_until_ready()
+    def f_match():
+        d = st((kp, 8), jnp.uint32)
+        v = st((kp,), jnp.bool_)
+        _match_jit.lower(d, d, v, v, cfg.lowe_ratio).compile()
+
+    def f_ransac():
+        p = st((kp, 2))
+        v = st((kp,), jnp.bool_)
+        key = st((2,), jnp.uint32)
+        _ransac_jit.lower(p, p, v, key).compile()
 
     def f_salience():
-        b = jnp.zeros((c, 3, bh, bw), jnp.float32)
-        _salience_all(b, cfg.mesh_height - 1, cfg.mesh_width - 1
-                      ).block_until_ready()
+        _salience_all.lower(st((c, 3, bh, bw)), cfg.mesh_height - 1,
+                            cfg.mesh_width - 1).compile()
 
-    def f_mesh2map_compose():
-        verts = jnp.zeros((c, cfg.mesh_height, cfg.mesh_width, 2),
-                          jnp.float32)
-        mm = mesh_to_backward_maps(verts, bh, bw)
+    def f_mesh2map():
+        from video_stitcher_tpu.mesh.mesh2map import upsample_backward_disp
+        step = 8
+        hcc = max(cfg.mesh_height, (bh - 1 + step - 1) // step + 1)
+        wcc = max(cfg.mesh_width, (bw - 1 + step - 1) // step + 1)
+        upsample_backward_disp.lower(st((c, 2, hcc, wcc)), bh, bw).compile()
+
+    def f_compose():
         from video_stitcher_tpu.calib.calibration import \
             compose_fused_maps_device
-        bm = jnp.zeros((c, 2, bh, bw), jnp.float32)
-        compose_fused_maps_device(bm, mm, geom=geom).block_until_ready()
+        compose_fused_maps_device.lower(maps_st, maps_st,
+                                        geom=geom).compile()
 
     def f_plan_bits():
-        mp = pad_maps_device(jnp.zeros((c, 2, bh, bw), jnp.float32))
-        warp_w = ((geom.warp_src_w + 127) // 128) * 128
-        chunk_stats_device(mp, geom.warp_src_h,
-                           warp_w).my_min.block_until_ready()
-        repack_maps_lane(mp).block_until_ready()
+        pad_maps_device.lower(maps_st).compile()
+        chunk_stats_device.lower(pmaps_st, geom.warp_src_h,
+                                 warp_w).compile()
+        repack_maps_lane.lower(pmaps_st).compile()
 
-    jobs = [f_warp, f_detect, f_match_ransac, f_salience,
-            f_mesh2map_compose, f_plan_bits]
+    jobs = [f_warp, f_detect, f_match, f_ransac, f_salience,
+            f_mesh2map, f_compose, f_plan_bits]
     with cf.ThreadPoolExecutor(max_workers=len(jobs)) as ex:
         for fut in [ex.submit(j) for j in jobs]:
             try:
@@ -192,6 +232,28 @@ class MeshPipeline:
         # commit() keeps already-device-resident maps in place
         from video_stitcher_tpu.utils.hostdev import commit
         self.global_maps = commit(jnp.asarray(global_fused_maps))
+        # the global maps are STATIC across recalibrations, so the mesh-
+        # estimation warp can use the production Pallas strip kernel with
+        # a once-built plan instead of the naive XLA gather (which lowers
+        # per-element on TPU and dominated the remaining Rewarp cost)
+        self._strip = None
+        if (cfg.use_pallas_remap and jax.default_backend() == "tpu"
+                and geom.warp_src_w >= 256):
+            from video_stitcher_tpu.ops.remap_strips import (
+                chunk_stats_device, pad_maps_device, plan_strips_from_stats,
+                repack_maps_lane)
+            warp_w = ((geom.warp_src_w + 127) // 128) * 128
+            mp_dev = pad_maps_device(self.global_maps)
+            stats = jax.device_get(
+                chunk_stats_device(mp_dev, geom.warp_src_h, warp_w))
+            plan = plan_strips_from_stats(stats, tuple(mp_dev.shape[2:]),
+                                          geom.warp_src_h, warp_w)
+            self._strip = {
+                "lane": repack_maps_lane(mp_dev),
+                "so": jnp.asarray(plan.strip_off),
+                "cp": jnp.asarray(plan.chunk_packed),
+                "static": (plan.sh, plan.whc, plan.slab_w),
+            }
         self.overlap_masks = jnp.asarray(overlap_masks.astype(np.float32))
         self.solver = CPWSolver(
             num_images=geom.num_images, mesh_w=cfg.mesh_width,
@@ -223,8 +285,14 @@ class MeshPipeline:
         if frames.shape[0] != c:
             frames = frames[:c]         # drop mesh-padding cameras
 
-        bands = _warp_bands_global_jit(frames, self.global_maps,
-                                       geom)                 # [C,3,bh,bw]
+        if self._strip is not None:
+            bands = _warp_bands_strip_jit(
+                jnp.asarray(frames), self._strip["lane"], self._strip["so"],
+                self._strip["cp"], geom=geom,
+                warp_static=self._strip["static"])        # [C,3,bh,bw]
+        else:
+            bands = _warp_bands_global_jit(frames, self.global_maps,
+                                           geom)             # [C,3,bh,bw]
         gray = (bands[:, 0] * 0.299 + bands[:, 1] * 0.587 + bands[:, 2] * 0.114)
         nonblack = (jnp.max(bands, axis=1) > 0).astype(jnp.float32)
         masks = self.overlap_masks * nonblack
