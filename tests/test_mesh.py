@@ -93,3 +93,33 @@ def test_mesh_to_backward_maps_identity():
     gy, gx = np.mgrid[0:64, 0:80]
     np.testing.assert_allclose(maps[0, 0], gx, atol=1e-2)
     np.testing.assert_allclose(maps[0, 1], gy, atol=1e-2)
+
+
+def test_coarse_backward_disp_matches_fullres_inversion():
+    """The host coarse-grid Picard inversion + dense upsample must agree
+    with the full-resolution device inversion on a realistic wobbled
+    mesh (the production Rewarp path is coarse; invert_forward_field is
+    the brute-force gold)."""
+    import jax
+    import jax.numpy as jnp
+    from video_stitcher_tpu.mesh.mesh2map import upsample_mesh
+
+    bh, bw = 160, 224
+    n = m = 6
+    rng = np.random.default_rng(7)
+    base_x = np.linspace(0, bw - 1, m)
+    base_y = np.linspace(0, bh - 1, n)
+    vx = base_x[None, None, :] + rng.normal(0, 2.5, (2, n, m))
+    vy = base_y[None, :, None] + rng.normal(0, 2.5, (2, n, m))
+    verts = np.stack([vx, vy], axis=-1).astype(np.float32)
+
+    maps = np.asarray(mesh_to_backward_maps(verts, bh, bw))
+
+    v = jnp.moveaxis(jnp.asarray(verts), -1, 1)
+    fwd = upsample_mesh(v, bh, bw)
+    ref = np.asarray(jax.vmap(
+        lambda f: invert_forward_field(f, 3))(fwd))
+
+    d = np.abs(maps - ref)
+    assert float(np.percentile(d, 99)) < 0.5, float(np.percentile(d, 99))
+    assert float(d.mean()) < 0.15, float(d.mean())
