@@ -118,3 +118,112 @@ def test_remap_strips_slab128(rng, monkeypatch):
         gold = np.asarray(remap_planar(img, mp[n, 0], mp[n, 1],
                                        border="constant"))
         np.testing.assert_allclose(out[n], gold, atol=2.0)
+
+
+def test_plan_strips_fuzz(rng):
+    """Fuzz the strip planner's coverage invariants over random map
+    geometries (affine + wobble + invalid patches + out-of-range taps).
+
+    Independently re-derives, per non-empty chunk, the tap rows/cols the
+    kernel will read and checks the decoded (strip, window, slab) actually
+    contains them — the planner's own internal assert only covers the y
+    window, and only in the form it was derived in.
+    """
+    from video_stitcher_tpu.ops.remap_strips import (
+        ROW_ALIGN, SLAB_W, plan_strips,
+    )
+
+    for case in range(30):
+        src_h = int(rng.integers(3, 70)) * 16
+        src_w = int(rng.integers(2, 9)) * 128
+        bh = int(rng.integers(1, 6)) * ROW_BLOCK
+        bw = int(rng.integers(1, 5)) * 128
+        gy, gx = np.mgrid[0:bh, 0:bw].astype(np.float32)
+        n = int(rng.integers(1, 4))
+        maps = np.empty((n, 2, bh, bw), np.float32)
+        for i in range(n):
+            sx = rng.uniform(0.2, 3.5)
+            sy = rng.uniform(0.2, 6.0)
+            mx = gx * sx + rng.uniform(-20, 20) \
+                + rng.uniform(0, 4) * np.sin(gy / rng.uniform(3, 17))
+            my = gy * sy + rng.uniform(-20, 20) \
+                + rng.uniform(0, 4) * np.cos(gx / rng.uniform(3, 17))
+            # invalid patches (the -1 marker) and wild out-of-range taps
+            for _ in range(int(rng.integers(0, 4))):
+                y0, x0 = rng.integers(0, bh), rng.integers(0, bw)
+                h0, w0 = rng.integers(1, bh + 1), rng.integers(1, bw + 1)
+                val = rng.choice([-1.0, -500.0, 1e5])
+                mx[y0:y0 + h0, x0:x0 + w0] = val
+                my[y0:y0 + h0, x0:x0 + w0] = val
+            maps[i, 0], maps[i, 1] = mx, my
+        try:
+            plan = plan_strips(maps, src_h, src_w)
+        except ValueError:
+            continue                     # x-span over WIN_W: rejected, fine
+
+        src_hp = plan.src_hp
+        assert plan.sh % ROW_ALIGN == 0 and plan.whc % ROW_ALIGN == 0
+        assert plan.whc <= plan.sh <= src_hp
+        mxm = maps[:, 0].reshape(n, bh // 8, 8, bw // 32, 32)
+        mym = maps[:, 1].reshape(n, bh // 8, 8, bw // 32, 32)
+        mxm = mxm.transpose(0, 1, 3, 2, 4)          # [n, nrb, ncc, 8, 32]
+        mym = mym.transpose(0, 1, 3, 2, 4)
+        valid = (mxm > -1) & (mym > -1) & (mxm < src_w) & (mym < src_h)
+        for i in range(n):
+            for r in range(bh // 8):
+                for k in range(bw // 32):
+                    v = int(plan.chunk_packed[i, r, k])
+                    if not valid[i, r, k].any():
+                        assert v < 0     # empty chunk must be skip-flagged
+                        continue
+                    assert v >= 0 and plan.strip_off[i, r] >= 0
+                    s0 = int(plan.strip_off[i, r])
+                    assert s0 % 8 == 0 and s0 + plan.sh <= src_hp
+                    row0 = s0 + (v & 0xFF) * ROW_ALIGN
+                    if plan.slab_w == 128:
+                        c_off = ((v >> 8) & 0x3FF) * 32
+                    else:
+                        # the kernel slices the slab at the 128-aligned
+                        # start; the dc field rides in lx, not the slice
+                        c_off = ((v >> 8) & 0xFF) * 128
+                    yv = mym[i, r, k][valid[i, r, k]]
+                    xv = mxm[i, r, k][valid[i, r, k]]
+                    # taps the kernel reads: floor(c)..floor(c)+1, clamped
+                    # into the source (clamped taps carry weight 0 on both
+                    # paths, so they may fall outside the window)
+                    ylo = max(int(np.floor(yv.min())), 0)
+                    yhi = min(int(np.floor(yv.max())) + 1, src_hp - 1)
+                    xlo = max(int(np.floor(xv.min())), 0)
+                    xhi = min(int(np.floor(xv.max())) + 1, src_w - 1)
+                    assert row0 <= ylo and yhi < row0 + plan.whc, \
+                        f"case {case}: y window misses taps"
+                    assert c_off <= xlo, f"case {case}: slab starts late"
+                    assert xhi < c_off + plan.slab_w \
+                        or c_off + plan.slab_w == src_w, \
+                        f"case {case}: slab ends early"
+                    assert c_off + min(plan.slab_w, SLAB_W) <= src_w
+
+
+def test_remap_strips_random_parity(rng):
+    """Random small geometries (incl. invalid patches and out-of-range
+    taps) through the interpret-mode kernel vs the gather gold."""
+    for _ in range(3):
+        src_h = int(rng.integers(2, 4)) * 16
+        src_w = 256
+        bh, bw = 2 * ROW_BLOCK, 128
+        frames = rng.integers(0, 255, (1, src_h, src_w, 3)).astype(np.uint8)
+        gy, gx = np.mgrid[0:bh, 0:bw].astype(np.float32)
+        mx = gx * rng.uniform(0.5, 1.8) + rng.uniform(-8, 8) \
+            + rng.uniform(0, 3) * np.sin(gy / rng.uniform(3, 9))
+        my = gy * rng.uniform(0.5, 2.5) + rng.uniform(-8, 8) \
+            + rng.uniform(0, 3) * np.cos(gx / rng.uniform(3, 9))
+        y0, x0 = rng.integers(0, bh), rng.integers(0, bw)
+        mx[y0:, x0:x0 + 16] = -1.0
+        my[y0:, x0:x0 + 16] = -1.0
+        mx[:2, :8] = 7777.0          # out of range -> 0
+        maps = np.stack([mx, my])[None].astype(np.float32)
+        out, mp = _run(maps, frames, src_h, src_w)
+        img = np.moveaxis(frames[0], -1, 0).astype(np.float32)
+        gold = np.asarray(remap_planar(img, mp[0, 0], mp[0, 1],
+                                       border="constant"))
+        np.testing.assert_allclose(out[0], gold, atol=2.0)
