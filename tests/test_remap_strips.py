@@ -120,6 +120,34 @@ def test_remap_strips_slab128(rng, monkeypatch):
         np.testing.assert_allclose(out[n], gold, atol=2.0)
 
 
+def test_remap_strips_rot_and_wide_agree(rng):
+    """SLAB_ROT (lane-rotated 128-lane window) and the wide 256-lane slab
+    must both match the gather gold on the same plan."""
+    from video_stitcher_tpu.ops.remap_strips import SLAB_ROT, SLAB_W
+
+    src_h, src_w = 40, 384
+    bh, bw = 2 * ROW_BLOCK, 128
+    frames = rng.integers(0, 255, (1, src_h, src_w, 3)).astype(np.uint8)
+    gy, gx = np.mgrid[0:bh, 0:bw].astype(np.float32)
+    mx = gx * 2.2 + 60 + 3 * np.sin(gy / 5.0)   # window straddles lane 128
+    my = gy * 1.7 + 2 * np.cos(gx / 9.0) + 1
+    maps = np.stack([mx, my])[None].astype(np.float32)
+    mp = pad_maps(maps)
+    plan = plan_strips(mp, src_h, src_w)
+    assert plan.slab_w == SLAB_ROT
+    src = prep_source(jnp.asarray(frames))
+    ml = repack_maps_lane(jnp.asarray(mp))
+    img = np.moveaxis(frames[0], -1, 0).astype(np.float32)
+    gold = np.asarray(remap_planar(img, mp[0, 0], mp[0, 1],
+                                   border="constant"))
+    for slab_w in (SLAB_ROT, SLAB_W):
+        out = np.asarray(remap_strips(
+            src, ml, jnp.asarray(plan.strip_off),
+            jnp.asarray(plan.chunk_packed), sh=plan.sh, whc=plan.whc,
+            slab_w=slab_w, interpret=True))
+        np.testing.assert_allclose(out[0], gold, atol=2.0)
+
+
 def test_plan_strips_fuzz(rng):
     """Fuzz the strip planner's coverage invariants over random map
     geometries (affine + wobble + invalid patches + out-of-range taps).
@@ -130,7 +158,7 @@ def test_plan_strips_fuzz(rng):
     window, and only in the form it was derived in.
     """
     from video_stitcher_tpu.ops.remap_strips import (
-        ROW_ALIGN, SLAB_W, plan_strips,
+        ROW_ALIGN, SLAB_ROT, SLAB_W, plan_strips,
     )
 
     for case in range(30):
@@ -182,10 +210,21 @@ def test_plan_strips_fuzz(rng):
                     row0 = s0 + (v & 0xFF) * ROW_ALIGN
                     if plan.slab_w == 128:
                         c_off = ((v >> 8) & 0x3FF) * 32
+                        win_lo, win_w = c_off, 128
+                        read_w = 128
+                    elif plan.slab_w == SLAB_ROT:
+                        # 256-lane slab read at the 128-aligned start,
+                        # lane-rotated by dc, sliced to 128 lanes
+                        c_off = ((v >> 8) & 0xFF) * 128
+                        dc = (v >> 16) & 0x1FF
+                        win_lo, win_w = c_off + dc, 128
+                        read_w = SLAB_W
                     else:
                         # the kernel slices the slab at the 128-aligned
                         # start; the dc field rides in lx, not the slice
                         c_off = ((v >> 8) & 0xFF) * 128
+                        win_lo, win_w = c_off, plan.slab_w
+                        read_w = plan.slab_w
                     yv = mym[i, r, k][valid[i, r, k]]
                     xv = mxm[i, r, k][valid[i, r, k]]
                     # taps the kernel reads: floor(c)..floor(c)+1, clamped
@@ -197,11 +236,11 @@ def test_plan_strips_fuzz(rng):
                     xhi = min(int(np.floor(xv.max())) + 1, src_w - 1)
                     assert row0 <= ylo and yhi < row0 + plan.whc, \
                         f"case {case}: y window misses taps"
-                    assert c_off <= xlo, f"case {case}: slab starts late"
-                    assert xhi < c_off + plan.slab_w \
-                        or c_off + plan.slab_w == src_w, \
-                        f"case {case}: slab ends early"
-                    assert c_off + min(plan.slab_w, SLAB_W) <= src_w
+                    assert win_lo <= xlo, f"case {case}: window starts late"
+                    assert xhi < win_lo + win_w \
+                        or win_lo + win_w >= src_w, \
+                        f"case {case}: window ends early"
+                    assert c_off + read_w <= src_w
 
 
 def test_remap_strips_random_parity(rng):

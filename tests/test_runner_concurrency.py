@@ -41,16 +41,25 @@ def test_runner_recalib_swap_concurrency(tmp_path, monkeypatch):
 
     def counting_swap(self, state):
         interp_swaps.append(1)
-        return orig_swap(self, state)
+        out = orig_swap(self, state)
+        # Event-driven stop: end the run once a mesh install landed while
+        # frames were flowing AND the interp animation published at least
+        # two states. A fixed frame count races the recalib thread under
+        # full-suite CPU load (the frames can finish first); the
+        # max_frames=600 cap below only bounds the failure mode.
+        if (runner_box and len(interp_swaps) >= 2
+                and any(fd >= 1 for fd in installs)):
+            runner_box[0]._stop.set()
+        return out
 
     monkeypatch.setattr(Stitcher, "recalibrate_mesh", counting_recal)
     monkeypatch.setattr(Stitcher, "swap_state", counting_swap)
 
-    r = Runner(cfg, max_frames=20)
+    r = Runner(cfg, max_frames=600)
     runner_box.append(r)
     r.run()
 
-    assert r.frames_done == 20
+    assert 1 <= r.frames_done <= 600
     # at least one mesh was re-solved and installed while frames flowed
     assert any(fd >= 1 for fd in installs), installs
     # the interp animation published intermediate states

@@ -52,10 +52,11 @@ def main(argv=None):
     state = st.state
     maps = state.fused_maps
     n, _, bh, bw = maps.shape
+    kw = 128 if slab_w in (128, rs.SLAB_ROT) else slab_w  # contraction width
     print(f"bands: [{n}, 3, {bh}, {bw}]  sh={sh} whc={whc} "
           f"slab_w={slab_w} nrb={bh // rs.ROW_BLOCK} ncc={bw // rs.CHUNK_W}")
     chunks = n * (bh // rs.ROW_BLOCK) * (bw // rs.CHUNK_W)
-    flops = chunks * (rs.ROW_BLOCK * rs.CHUNK_W) * slab_w * 3 * whc * 2
+    flops = chunks * (rs.ROW_BLOCK * rs.CHUNK_W) * kw * 3 * whc * 2
     print(f"chunks/frame: {chunks}   x-stage matmul TFLOP/frame: "
           f"{flops / 1e12:.3f}")
 
@@ -77,7 +78,16 @@ def main(argv=None):
     timeit(lambda s: rs.remap_strips(
         s, maps_lane, state.warp_strip_off, state.warp_chunk_packed,
         sh=sh, whc=whc, slab_w=slab_w), src,
-        name="remap_strips (production)")
+        name=f"remap_strips (plan: slab_w={slab_w})")
+
+    # A/B the slab modes on the same plan (the ROT and WIDE packed
+    # encodings are identical, so one plan serves both; ROT requires the
+    # plan to have chosen it — taps fit 128 lanes from the window start)
+    if slab_w == rs.SLAB_ROT:
+        timeit(lambda s: rs.remap_strips(
+            s, maps_lane, state.warp_strip_off, state.warp_chunk_packed,
+            sh=sh, whc=whc, slab_w=rs.SLAB_W), src,
+            name=f"  variant slab_w={rs.SLAB_W} (wide)")
 
 
 if __name__ == "__main__":

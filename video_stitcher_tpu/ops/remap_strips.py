@@ -16,9 +16,14 @@ change — the maps are FIXED between mesh re-solves):
  2. Each row-block is split into chunks of 32 output columns. Within a
     chunk the source taps fall in a window of <= WHC rows. Mosaic only
     allows dynamic *lane* indexing at multiples of 128, so the kernel
-    reads a 256-lane slab at the 128-aligned floor of the window start
-    and folds the sub-slab offset into the weight matrix instead of
-    moving the data.
+    reads a 256-lane slab at the 128-aligned floor of the window start.
+    In the default SLAB_ROT mode (taps fit 128 lanes of the window
+    start — true at any minification) the slab is then lane-rotated by
+    the sub-slab offset (as int32: Mosaic's dynamic rotate is
+    32-bit-only; the bitcast packs sublane pairs and leaves lanes alone)
+    and statically sliced to 128 lanes, halving the weight matrix and
+    the x-stage contraction (9.8 -> 9.1 ms/frame). The wide fallback
+    folds the sub-slab offset into a 256-sublane weight matrix instead.
  3. Bilinear separates into per-axis tent kernels w(k) = relu(1-|k-l|).
     Per chunk, the X stage is ONE matmul `dot(slab, wx)` with the slab
     as LHS [3*whc, 256] (channels stacked along sublanes) contracting its
@@ -68,6 +73,16 @@ CHUNK_W = 32           # output columns per compute chunk
 GROUP = 128 // CHUNK_W  # chunks per 128-lane map/store group
 PX = ROW_BLOCK * CHUNK_W  # out px per chunk (one [1, 256] lane row)
 SLAB_W = 256           # lane width of the rotated source slab
+# SLAB_ROT: mode code (not a width) — the kernel reads the same 256-lane
+# slab but lane-rotates it by the packed dc offset (pltpu.roll supports
+# dynamic shifts) and statically slices lanes [0, 128), so the tent-weight
+# matrix shrinks to 128 sublanes. That halves both the dominant VPU cost
+# (wx generation: ~320 of ~430 vector issues/chunk at 256) and the x-stage
+# MXU contraction. Chosen by the planner whenever every chunk's taps fit
+# 128 lanes from the tap-window start (true at any minification; the code
+# sits between 128 and 256 so min_slab_w's max() keeps a WIDE plan sticky
+# across recalibs and never narrows one illegally).
+SLAB_ROT = 192
 WIN_W = 128            # lane width of the in-register window
 ROW_ALIGN = 16         # window row starts aligned to the bf16 sublane tile
 # when the double-buffered FULL per-camera source fits the resident budget,
@@ -132,12 +147,13 @@ class StripPlan(NamedTuple):
     Array shapes: strip_off [N, nrb]; chunk_packed [N, nrb, ncc] with
     (window_row//8 | (c128//128)<<8 | dc<<16) packed per chunk — the
     scalar-prefetch arrays live in SMEM (~1 MB), so one word per chunk.
-    Static: sh/whc (strip/window heights), slab_w (x-slab lane width: 128
-    when every chunk's taps fit a 64-aligned 128-lane window — halves the
-    x-stage MXU work and tent-weight VPU work — else 256), src_hp/src_wp
-    (padded source), bh_p/bw_p (padded band). stats: the ChunkStats the
-    plan was derived from (callers stash them to later plan interpolation
-    unions without touching the maps again).
+    Static: sh/whc (strip/window heights), slab_w (x-slab mode: SLAB_ROT
+    when every chunk's in-source taps fit 128 lanes of the window start
+    — the default on real rigs; SLAB_W wide fallback; 128 = the
+    interpret-only 32-aligned experiment), src_hp/src_wp (padded
+    source), bh_p/bw_p (padded band). stats: the ChunkStats the plan was
+    derived from (callers stash them to later plan interpolation unions
+    without touching the maps again).
     """
     strip_off: np.ndarray
     chunk_packed: np.ndarray
@@ -325,23 +341,23 @@ def plan_strips_from_stats(stats: ChunkStats, band_shape, src_h: int,
     assert bool(cover[~empty].all()), "strip plan failed to cover all taps"
 
     c0 = np.clip(np.floor(mx_min) - 1, 0, src_wp - WIN_W).astype(np.int32)
-    # x-slab width. Negative results, measured on v5e and recorded for
-    # the next optimization round (the kernel is VPU-issue-bound on
-    # tent-weight construction: ~400 vector issues/chunk vs ~130 MXU
-    # cycles, 3% of HBM):
+    # x-slab mode. The production default is SLAB_ROT (dynamic lane-rotate
+    # to a 128-lane window; 9.8 -> 9.1 ms/frame on the rig). Negative
+    # results, measured on v5e and recorded so they aren't retried (the
+    # kernel is VPU-issue-bound on tent-weight construction; ~3% of HBM):
     #  * slab_w=128 at sub-128 window alignment DOES NOT COMPILE on
     #    hardware — Mosaic requires dynamic lane-slice starts to be
     #    multiples of 128 ("cannot statically prove that index in
     #    dimension 3 is a multiple of 128"); it runs only in interpret
-    #    mode, kept as a covered experiment via VST_SLAB_W=128.
+    #    mode, kept as a covered experiment via VST_SLAB_W=128. The
+    #    rotate+static-slice of SLAB_ROT is the compiling equivalent.
     #  * PRECOMPUTING the x tent weights per recalibration and streaming
     #    them (they depend only on the maps) removes the VPU work but is
-    #    bandwidth-negative: at the forced 256-lane K the weight tensor
-    #    is 6.5 GB/frame of DMA (~8 ms at v5e HBM) vs the ~5 ms of VPU
-    #    it saves; at 128 lanes it cannot compile (above).
-    # So the production path stays the aligned 256 slab with in-kernel
-    # weights; a future win needs cheaper weight generation (e.g. packed
-    # sub-bf16 arithmetic) or hardware with finer lane-slice granularity.
+    #    bandwidth-negative: at 256-lane K the weight tensor is
+    #    6.5 GB/frame of DMA (~8 ms at v5e HBM) vs the ~5 ms of VPU it
+    #    saves.
+    #  * bf16 weight-chain arithmetic: neutral at SLAB_ROT, slower at
+    #    SLAB_W (see kernel comment) — v5e Mosaic doesn't pack it.
     import os
     env_slab = os.environ.get("VST_SLAB_W")
     c32 = np.minimum((c0 // 32) * 32, src_wp - 128).astype(np.int32)
@@ -350,11 +366,20 @@ def plan_strips_from_stats(stats: ChunkStats, band_shape, src_h: int,
     # count against the fit)
     fits32 = bool(np.all(empty | (np.floor(mx_max) + 2 <= c32 + 128)
                          | (c32 + 128 == src_wp)))
-    slab_w = SLAB_W
+    # SLAB_ROT fits when every chunk's rightmost IN-SOURCE tap is within
+    # 128 lanes of the window start c0. Taps at x >= src_w contribute 0 on
+    # every path (BORDER_CONSTANT / zero weight at the slab edge), so they
+    # are exempt — without the exemption, right-edge chunks (where c0's
+    # src_wp-128 clip binds) would spuriously force the wide slab.
+    x1_in = np.minimum(np.floor(mx_max) + 1, src_wp - 1)
+    fits_rot = bool(np.all(empty | (x1_in - c0 <= 127)))
+    slab_w = SLAB_ROT if fits_rot else SLAB_W
     slab_w = max(slab_w, min_slab_w)
-    if env_slab and (int(env_slab) == SLAB_W
-                     or (int(env_slab) == 128 and fits32)):
-        slab_w = int(env_slab)
+    if env_slab:
+        e = int(env_slab)
+        if (e == SLAB_W or (e == SLAB_ROT and fits_rot)
+                or (e == 128 and fits32)):
+            slab_w = e
     if slab_w == 128:
         assert (chunk_row // ROW_ALIGN).max() <= 0xFF \
             and (c32 // 32).max() <= 0x3FF, \
@@ -490,9 +515,13 @@ def _kernel(strip_off, chunk_packed, gains, src_hbm, map_ref,
 
         s0 = pl.multiple_of(strip_off[cam, rb], 8)
 
+    # weight K extent / slab read lanes (SLAB_ROT reads the full 256-lane
+    # slab but rotates+slices it to a 128-lane window, see module docs)
+    kw = 128 if slab_w in (128, SLAB_ROT) else slab_w
+    rw = SLAB_W if slab_w == SLAB_ROT else slab_w
     # loop-invariant constants (hoisted by Mosaic):
     # tap-index iotas along sublanes, in the weights' MXU-RHS layout
-    kx = jax.lax.broadcasted_iota(jnp.int32, (slab_w, PX), 0)
+    kx = jax.lax.broadcasted_iota(jnp.int32, (kw, PX), 0)
     kx = kx.astype(jnp.float32)
     ky = jax.lax.broadcasted_iota(jnp.int32, (whc, PX), 0).astype(jnp.float32)
     # re-tile mask [ch*8, 256]: row (c, r) keeps lanes with q//CHUNK_W == r
@@ -517,6 +546,9 @@ def _kernel(strip_off, chunk_packed, gains, src_hbm, map_ref,
         ly = map_ref[0, 0, 1, pl.ds(k * PX, PX)][None, :]
         lx = lx - c_off.astype(jnp.float32)
         ly = ly - (s0 + r0).astype(jnp.float32)
+        if slab_w == SLAB_ROT:
+            dc = (v >> 16) & 0x1FF             # window start inside the slab
+            lx = lx - dc.astype(jnp.float32)
 
         # Bilinear weights ARE the tent function relu(1 - |k - l|):
         # out-of-source taps get weight 0 with exactly the gather path's
@@ -525,12 +557,27 @@ def _kernel(strip_off, chunk_packed, gains, src_hbm, map_ref,
         # carries taps measured SLOWER — 10.4 vs 10.1 ms — the extra conds
         # cost more than the ~32% FLOP saving; the x-stage is not the
         # bottleneck once empty chunks are skipped.)
+        # (Running the abs/1-/max chain in bf16 after an f32 subtract — in
+        # the hope Mosaic packs bf16 ALU ops — measured NEUTRAL at
+        # SLAB_ROT (9.06 vs 9.11 ms) and SLOWER at SLAB_W (10.13 vs
+        # 9.83 ms): v5e Mosaic doesn't pack the chain, and the extra
+        # convert costs. Kept f32.)
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(kx - lx)).astype(jnp.bfloat16)
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(ky - ly))      # [whc, 256] f32
 
         slab = jnp.concatenate(
-            [strip[slot, c, pl.ds(r0, whc), pl.ds(c_off, slab_w)]
-             for c in range(channels)], axis=0)        # [C*whc, slab_w]
+            [strip[slot, c, pl.ds(r0, whc), pl.ds(c_off, rw)]
+             for c in range(channels)], axis=0)        # [C*whc, rw]
+        if slab_w == SLAB_ROT:
+            # bring lanes [dc, dc+128) to [0, 128): all in-source taps live
+            # there (plan guarantees rightmost in-source tap <= c0+127);
+            # lanes that wrap around from the slab head carry weight 0 by
+            # the same bound. Mosaic's dynamic rotate is 32-bit-only, so
+            # rotate the slab as int32 (bitcast packs SUBLANE pairs; lanes
+            # are untouched, so the per-lane rotate + roundtrip is exact).
+            s32 = pltpu.bitcast(slab, jnp.int32)
+            s32 = pltpu.roll(s32, shift=(SLAB_W - dc) % SLAB_W, axis=1)
+            slab = pltpu.bitcast(s32, jnp.bfloat16)[:, :WIN_W]
 
         # x-stage: slab LHS contracts its lane (x) axis — natural MXU
         # orientation, no operand transposes
