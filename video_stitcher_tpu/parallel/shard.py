@@ -142,14 +142,13 @@ def build_sharded_step(geom: StitchGeometry, mesh: Mesh, axis: str = "cam",
         out = jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
         return jnp.moveaxis(out, 0, -1)
 
-    from jax.experimental.shard_map import shard_map
-    sharded = shard_map(
+    sharded = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis),
                   tuple(P(axis) for _ in range(levels + 1)),
                   P(axis), P(axis), P(axis), P(), P()),
         out_specs=P(),
-        check_rep=False)
+        check_vma=False)
 
     @jax.jit
     def step(frames, state: CalibState, corners):
