@@ -84,6 +84,7 @@ def test_shard_state_threads_strip_plan():
         warp_strip_off=jnp.zeros((n, nrb), jnp.int32),
         warp_chunk_packed=jnp.zeros((n, nrb, ncc), jnp.int32),
         warp_maps_lane=jnp.zeros((n, nrb, 2, ncc * 256), jnp.float32),
+        warp_groups=jnp.ones((n, nrb, ncc // 4 + 1), jnp.int32),
     )
 
     class GeomStub:
@@ -95,3 +96,5 @@ def test_shard_state_threads_strip_plan():
     assert (np.asarray(sh_state.warp_strip_off[n:]) == -8).all()
     assert (np.asarray(sh_state.warp_chunk_packed[n:]) == -1).all()
     assert sh_state.warp_maps_lane.shape == (8, nrb, 2, ncc * 256)
+    # padded cameras' compacted group lists carry zero counts
+    assert (np.asarray(sh_state.warp_groups[n:]) == 0).all()

@@ -17,6 +17,7 @@ def _run(maps_np, frames_u8, src_h, src_w):
     out = remap_strips(src, repack_maps_lane(jnp.asarray(mp)),
                        jnp.asarray(plan.strip_off),
                        jnp.asarray(plan.chunk_packed),
+                       jnp.asarray(plan.groups),
                        sh=plan.sh, whc=plan.whc, slab_w=plan.slab_w,
                        interpret=True)
     return np.asarray(out), mp
@@ -83,7 +84,8 @@ def test_remap_strips_strip_mode_odd_nrb(rng, monkeypatch):
     src = prep_source(jnp.asarray(frames))
     out = np.asarray(remap_strips(
         src, repack_maps_lane(jnp.asarray(mp)), jnp.asarray(plan.strip_off),
-        jnp.asarray(plan.chunk_packed), sh=plan.sh, whc=plan.whc, slab_w=plan.slab_w,
+        jnp.asarray(plan.chunk_packed), jnp.asarray(plan.groups),
+        sh=plan.sh, whc=plan.whc, slab_w=plan.slab_w,
         interpret=True))
     for n in range(2):
         img = np.moveaxis(frames[n], -1, 0).astype(np.float32)
@@ -111,7 +113,8 @@ def test_remap_strips_slab128(rng, monkeypatch):
     src = prep_source(jnp.asarray(frames))
     out = np.asarray(remap_strips(
         src, repack_maps_lane(jnp.asarray(mp)), jnp.asarray(plan.strip_off),
-        jnp.asarray(plan.chunk_packed), sh=plan.sh, whc=plan.whc,
+        jnp.asarray(plan.chunk_packed), jnp.asarray(plan.groups),
+        sh=plan.sh, whc=plan.whc,
         slab_w=plan.slab_w, interpret=True))
     for n in range(2):
         img = np.moveaxis(frames[n], -1, 0).astype(np.float32)
@@ -143,7 +146,8 @@ def test_remap_strips_rot_and_wide_agree(rng):
     for slab_w in (SLAB_ROT, SLAB_W):
         out = np.asarray(remap_strips(
             src, ml, jnp.asarray(plan.strip_off),
-            jnp.asarray(plan.chunk_packed), sh=plan.sh, whc=plan.whc,
+            jnp.asarray(plan.chunk_packed), jnp.asarray(plan.groups),
+            sh=plan.sh, whc=plan.whc,
             slab_w=slab_w, interpret=True))
         np.testing.assert_allclose(out[0], gold, atol=2.0)
 
@@ -192,6 +196,21 @@ def test_plan_strips_fuzz(rng):
         src_hp = plan.src_hp
         assert plan.sh % ROW_ALIGN == 0 and plan.whc % ROW_ALIGN == 0
         assert plan.whc <= plan.sh <= src_hp
+        # compacted group lists: counts + active-first indices must match
+        # the packed skip flags exactly (a missing group = dropped output;
+        # an extra group = garbage decode of an empty chunk... which is
+        # benign but must still be listed only if actually active)
+        from video_stitcher_tpu.ops.remap_strips import GROUP
+        ng = plan.chunk_packed.shape[2] // GROUP
+        act_g = (plan.chunk_packed.reshape(
+            n, bh // 8, ng, GROUP) >= 0).any(-1)
+        assert plan.groups.shape == (n, bh // 8, ng + 1)
+        for i in range(n):
+            for r in range(bh // 8):
+                cnt = int(plan.groups[i, r, 0])
+                assert cnt == int(act_g[i, r].sum())
+                listed = sorted(plan.groups[i, r, 1:1 + cnt].tolist())
+                assert listed == list(np.nonzero(act_g[i, r])[0])
         mxm = maps[:, 0].reshape(n, bh // 8, 8, bw // 32, 32)
         mym = maps[:, 1].reshape(n, bh // 8, 8, bw // 32, 32)
         mxm = mxm.transpose(0, 1, 3, 2, 4)          # [n, nrb, ncc, 8, 32]

@@ -77,7 +77,7 @@ def main(argv=None):
 
     timeit(lambda s: rs.remap_strips(
         s, maps_lane, state.warp_strip_off, state.warp_chunk_packed,
-        sh=sh, whc=whc, slab_w=slab_w), src,
+        state.warp_groups, sh=sh, whc=whc, slab_w=slab_w), src,
         name=f"remap_strips (plan: slab_w={slab_w})")
 
     # A/B the slab modes on the same plan (the ROT and WIDE packed
@@ -86,7 +86,7 @@ def main(argv=None):
     if slab_w == rs.SLAB_ROT:
         timeit(lambda s: rs.remap_strips(
             s, maps_lane, state.warp_strip_off, state.warp_chunk_packed,
-            sh=sh, whc=whc, slab_w=rs.SLAB_W), src,
+            state.warp_groups, sh=sh, whc=whc, slab_w=rs.SLAB_W), src,
             name=f"  variant slab_w={rs.SLAB_W} (wide)")
 
 

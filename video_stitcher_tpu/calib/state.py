@@ -15,6 +15,8 @@ from typing import NamedTuple, Tuple
 import numpy as np
 import jax.numpy as jnp
 
+from video_stitcher_tpu.ops.remap_strips import groups_from_packed
+
 
 class CalibState(NamedTuple):
     #: f32 [N, 2, bandH, bandW] — fused backward maps (full-res source px
@@ -35,6 +37,9 @@ class CalibState(NamedTuple):
     #: f32 [N, nrb, 2, ncc*256] — chunk-lane-major repack of fused_maps for
     #: the Pallas warp (ops/remap_strips.repack_maps_lane; None = gather).
     warp_maps_lane: jnp.ndarray | None = None
+    #: i32 [N, nrb, ncc//4 + 1] — compacted active-group lists per
+    #: row-block ([..., 0] = count) driving the kernel's branch-free loop.
+    warp_groups: jnp.ndarray | None = None
 
 
 def save_state(path: str, state: CalibState, extra: dict | None = None) -> None:
@@ -49,6 +54,8 @@ def save_state(path: str, state: CalibState, extra: dict | None = None) -> None:
     if state.warp_strip_off is not None:
         data["warp_strip_off"] = np.asarray(state.warp_strip_off)
         data["warp_chunk_packed"] = np.asarray(state.warp_chunk_packed)
+        if state.warp_groups is not None:
+            data["warp_groups"] = np.asarray(state.warp_groups)
     if state.warp_maps_lane is not None:
         data["warp_maps_lane"] = np.asarray(state.warp_maps_lane)
     if extra:
@@ -71,4 +78,8 @@ def load_state(path: str) -> CalibState:
                            if "warp_chunk_packed" in z else None),
         warp_maps_lane=(jnp.asarray(z["warp_maps_lane"])
                         if "warp_maps_lane" in z else None),
+        warp_groups=(jnp.asarray(z["warp_groups"]) if "warp_groups" in z
+                     else (jnp.asarray(groups_from_packed(
+                         np.asarray(z["warp_chunk_packed"])))
+                         if "warp_chunk_packed" in z else None)),
     )

@@ -75,7 +75,7 @@ _warp_bands_global_jit = jax.jit(_warp_bands_global,
 
 @functools.partial(jax.jit, static_argnames=("geom", "warp_static"))
 def _warp_bands_strip_jit(frames, maps_lane, strip_off, chunk_packed,
-                          geom, warp_static):
+                          groups, geom, warp_static):
     """Strip-kernel twin of _warp_bands_global (no gain — the mesh is
     estimated on ungained, globally-warped bands, meshwarper.cpp:64-73)."""
     from video_stitcher_tpu.ops.remap_strips import remap_strips
@@ -83,7 +83,7 @@ def _warp_bands_strip_jit(frames, maps_lane, strip_off, chunk_packed,
     lay = geom.layout
     src = _prep_strip_source(frames, geom)
     sh, whc, slab_w = warp_static
-    bands = remap_strips(src, maps_lane, strip_off, chunk_packed,
+    bands = remap_strips(src, maps_lane, strip_off, chunk_packed, groups,
                          sh=sh, whc=whc, slab_w=slab_w)
     return bands[:, :, :lay.band_h, :lay.band_w]
 
@@ -252,6 +252,7 @@ class MeshPipeline:
                 "lane": repack_maps_lane(mp_dev),
                 "so": jnp.asarray(plan.strip_off),
                 "cp": jnp.asarray(plan.chunk_packed),
+                "gl": jnp.asarray(plan.groups),
                 "static": (plan.sh, plan.whc, plan.slab_w),
             }
         self.overlap_masks = jnp.asarray(overlap_masks.astype(np.float32))
@@ -288,7 +289,7 @@ class MeshPipeline:
         if self._strip is not None:
             bands = _warp_bands_strip_jit(
                 jnp.asarray(frames), self._strip["lane"], self._strip["so"],
-                self._strip["cp"], geom=geom,
+                self._strip["cp"], self._strip["gl"], geom=geom,
                 warp_static=self._strip["static"])        # [C,3,bh,bw]
         else:
             bands = _warp_bands_global_jit(frames, self.global_maps,

@@ -41,11 +41,24 @@ change — the maps are FIXED between mesh re-solves):
     3 channels are masked into an f32 [24, 4*256] LHS and contracted
     with a constant 0/1 bf16 selection matrix (f32 MXU passes measured
     2.5x slower; per-chunk [8,256]x[256,32] dots and VPU relayouts both
-    measured slower still). Fully-invalid chunks are skipped via a sign
-    flag in the packed offsets.
+    measured slower still).
+ 6. The kernel is BRANCH-FREE below the grid level. Empty groups (the
+    scalloped band corners — ~half the grid on the real rig) are skipped
+    by iterating a host-compacted active-group list with a dynamic
+    fori_loop bound over a pre-zeroed output block; empty chunks inside
+    active groups compute unconditionally through the zero-weight path
+    (their -1 map coords zero every tent weight — exact). The previous
+    design guarded both with lax.cond, and on v5e a cond costs as much
+    as the chunk body it guards (it defeats Mosaic's software
+    pipelining): guarded 9.6 ms vs compacted branch-free 5.8 ms/frame,
+    bit-identical output. Attribution measurements behind this (v5e):
+    removing the tent-weight generation, the lane rotate, the slab
+    reads, and BOTH matmuls from the guarded kernel changes nothing —
+    the per-chunk cost was all control flow and scalar-unit work.
 
-End-to-end: 32.2 -> 10.8 ms/frame for the 6-cam 1080p rig vs the v1
-weights-as-LHS formulation, ~400x vs the XLA gather lowering.
+End-to-end for the 6-cam 1080p rig: 32.2 ms (v1 weights-as-LHS) ->
+10.8 ms (slab-as-LHS) -> 9.6 ms (SLAB_ROT) -> 5.8 ms (branch-free
+compacted loop), ~700x vs the XLA gather lowering.
 
 Out-of-source taps (beyond the source or at the reference's -1 "invalid"
 marker, build_warp_maps.cu:103-106) fall outside every tent support and
@@ -145,7 +158,10 @@ class StripPlan(NamedTuple):
     """Scalar-prefetch arrays + static sizes for remap_strips.
 
     Array shapes: strip_off [N, nrb]; chunk_packed [N, nrb, ncc] with
-    (window_row//8 | (c128//128)<<8 | dc<<16) packed per chunk — the
+    (window_row//8 | (c128//128)<<8 | dc<<16) packed per chunk; groups
+    [N, nrb, ncc//GROUP + 1] — per row-block, [0] is the number of
+    ACTIVE 128-lane groups (any non-empty chunk) and [1:] lists their
+    indices active-first (the kernel's branch-free compacted loop) — the
     scalar-prefetch arrays live in SMEM (~1 MB), so one word per chunk.
     Static: sh/whc (strip/window heights), slab_w (x-slab mode: SLAB_ROT
     when every chunk's in-source taps fit 128 lanes of the window start
@@ -157,6 +173,7 @@ class StripPlan(NamedTuple):
     """
     strip_off: np.ndarray
     chunk_packed: np.ndarray
+    groups: np.ndarray
     sh: int
     whc: int
     slab_w: int
@@ -394,10 +411,25 @@ def plan_strips_from_stats(stats: ChunkStats, band_shape, src_h: int,
             "source too large for packed chunk encoding"
         packed = ((chunk_row // ROW_ALIGN)
                   | ((c128 // 128) << 8) | (dc << 16)).astype(np.int32)
-    packed = np.where(empty, np.int32(-1), packed)   # sign bit = skip chunk
-    return StripPlan(strip_off=strip_off, chunk_packed=packed, sh=sh,
+    packed = np.where(empty, np.int32(-1), packed)   # sign bit = empty chunk
+    return StripPlan(strip_off=strip_off, chunk_packed=packed,
+                     groups=groups_from_packed(packed), sh=sh,
                      whc=whc, slab_w=slab_w, src_hp=src_hp, src_wp=src_wp,
                      bh_p=bh, bw_p=bw, stats=stats)
+
+
+def groups_from_packed(packed: np.ndarray) -> np.ndarray:
+    """Compacted active-group lists from packed chunk offsets [N, nrb, ncc].
+
+    Returns i32 [N, nrb, ncc//GROUP + 1]: [..., 0] = number of 128-lane
+    groups with any non-empty chunk; [..., 1:] = group indices,
+    active-first in ascending order. Drives the kernel's branch-free
+    dynamic-bound group loop (see module docs, point 6)."""
+    n, nrb, ncc = packed.shape
+    act = (packed >= 0).reshape(n, nrb, ncc // GROUP, GROUP).any(-1)
+    order = np.argsort(~act, axis=-1, kind="stable").astype(np.int32)
+    return np.concatenate(
+        [act.sum(-1, dtype=np.int32)[..., None], order], axis=-1)
 
 
 def prep_source(frames_u8):
@@ -446,7 +478,7 @@ def repack_maps_lane(maps):
     return x.reshape(n, nrb, two, ncc * PX)
 
 
-def _kernel(strip_off, chunk_packed, gains, src_hbm, map_ref,
+def _kernel(strip_off, chunk_packed, groups, gains, src_hbm, map_ref,
             out_ref, strip, sem, *, sh, whc, slab_w, ncc, channels,
             n_cam, n_rb):
     cam = pl.program_id(0)
@@ -534,8 +566,25 @@ def _kernel(strip_off, chunk_packed, gains, src_hbm, map_ref,
     cc = jax.lax.broadcasted_iota(jnp.int32, (GROUP * PX, 128), 1)
     b2 = ((qq // PX) * CHUNK_W + (qq % CHUNK_W) == cc).astype(jnp.bfloat16)
 
+    # the whole output block is zeroed up front so the compacted group
+    # loop below only ever touches ACTIVE groups; empty groups (scalloped
+    # band corners, ~half the grid on the real rig) cost nothing at all
+    bw_p = out_ref.shape[3]
+    out_ref[...] = jnp.zeros((1, channels, ROW_BLOCK, bw_p), jnp.float32)
+
     def chunk_rows(k, v):
-        """One chunk -> per-channel out-px rows, stacked [channels, 256]."""
+        """One chunk -> per-channel out-px rows, stacked [channels, 256].
+
+        Runs UNCONDITIONALLY, including on empty chunks (packed -1):
+        max(v, 0) decodes them to in-range window [0, 0] and their map
+        coords are -1, so every tent weight is exactly 0 and the chunk
+        contributes zeros — the same BORDER_CONSTANT zero-weight path
+        out-of-source taps take. Measured bit-exact vs the old guarded
+        kernel, and branch-free: a lax.cond around the chunk body costs
+        as much as the body itself on v5e (it defeats Mosaic's software
+        pipelining; guarded 9.6 ms vs compacted+branch-free 5.8 ms for
+        the 6-cam rig)."""
+        v = jnp.maximum(v, 0)
         r0 = (v & 0xFF) * ROW_ALIGN
         if slab_w == 128:
             c_off = ((v >> 8) & 0x3FF) * 32    # 32-aligned 128-lane slab
@@ -592,39 +641,27 @@ def _kernel(strip_off, chunk_packed, gains, src_hbm, map_ref,
             vals.append(jnp.sum(m, axis=0, keepdims=True))   # [1, 256]
         return jnp.concatenate(vals, axis=0)               # [channels, 256]
 
-    def group(g, _):
+    def group(i, _):
+        # i-th ACTIVE group of this row-block, from the plan's compacted
+        # list (groups[..., 0] is the count driving the loop bound)
+        g = groups[cam, rb, 1 + i]
         ckg = pl.multiple_of(g * 128, 128)
-        vs = [chunk_packed[cam, rb, g * GROUP + j] for j in range(GROUP)]
-        gmax = vs[0]
-        for j in range(1, GROUP):
-            gmax = jnp.maximum(gmax, vs[j])
-
-        def compute(_):
-            ls = []
-            for j in range(GROUP):
-                val = jax.lax.cond(
-                    vs[j] >= 0,
-                    lambda _, k=g * GROUP + j, v=vs[j]: chunk_rows(k, v),
-                    lambda _: jnp.zeros((channels, PX), jnp.float32), 0)
-                # [ch, 256] -> masked [ch*8, 256] re-tile LHS rows
-                ls.append(jnp.broadcast_to(
-                    val[:, None, :], (channels, ROW_BLOCK, PX)
-                ).reshape(channels * ROW_BLOCK, PX) * m1)
-            lbig = jnp.concatenate(ls, axis=1)   # [ch*8, GROUP*256]
-            # one selection matmul re-tiles the whole group's rows to
-            # [8, 128] tiles (bf16: f32 MXU passes measured 2.5x slower;
-            # +-0.5/255)
-            return jax.lax.dot_general(
-                lbig.astype(jnp.bfloat16), b2,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [ch*8, 128]
-
-        # all-empty groups (the scalloped band corners + empty row-blocks,
-        # ~half the chunks on the real rig) write zeros without touching
-        # the strip or the MXU
-        o = jax.lax.cond(
-            gmax >= 0, compute,
-            lambda _: jnp.zeros((channels * ROW_BLOCK, 128), jnp.float32), 0)
+        ls = []
+        for j in range(GROUP):
+            k = g * GROUP + j
+            val = chunk_rows(k, chunk_packed[cam, rb, k])
+            # [ch, 256] -> masked [ch*8, 256] re-tile LHS rows
+            ls.append(jnp.broadcast_to(
+                val[:, None, :], (channels, ROW_BLOCK, PX)
+            ).reshape(channels * ROW_BLOCK, PX) * m1)
+        lbig = jnp.concatenate(ls, axis=1)   # [ch*8, GROUP*256]
+        # one selection matmul re-tiles the whole group's rows to
+        # [8, 128] tiles (bf16: f32 MXU passes measured 2.5x slower;
+        # +-0.5/255)
+        o = jax.lax.dot_general(
+            lbig.astype(jnp.bfloat16), b2,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [ch*8, 128]
         # per-camera gain + u8-range clamp fused into the output write
         # (timed.cpp:94 convertTo) — saves a full elementwise pass over
         # the 164 MB band tensor between the warp and blend programs
@@ -634,21 +671,21 @@ def _kernel(strip_off, chunk_packed, gains, src_hbm, map_ref,
                 o[c * ROW_BLOCK:(c + 1) * ROW_BLOCK, :]
         return 0
 
-    jax.lax.fori_loop(0, ncc // GROUP, group, 0)
+    jax.lax.fori_loop(0, groups[cam, rb, 0], group, 0)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("sh", "whc", "slab_w", "interpret"))
-def remap_strips(src_planar, maps_lane, strip_off, chunk_packed, *,
+def remap_strips(src_planar, maps_lane, strip_off, chunk_packed, groups, *,
                  sh: int, whc: int, slab_w: int, gains=None,
                  interpret: bool = False):
     """src_planar: bf16 [N, C, Hp, Wp] (prep_source); maps_lane: f32
-    [N, nrb, 2, ncc*256] (repack_maps_lane of pad_maps output); offsets
-    from plan_strips; sh/whc/slab_w: the plan's static sizes (the packed
-    chunk encoding differs between slab widths — always pass the
-    SAME plan's values together); gains: optional f32 [N] per-camera
-    multiplier fused into the output write (with the u8-range clamp).
-    Returns f32 [N, C, bh_p, bw_p].
+    [N, nrb, 2, ncc*256] (repack_maps_lane of pad_maps output); offsets +
+    compacted group lists from plan_strips; sh/whc/slab_w: the plan's
+    static sizes (the packed chunk encoding differs between slab widths —
+    always pass the SAME plan's values together); gains: optional f32 [N]
+    per-camera multiplier fused into the output write (with the u8-range
+    clamp). Returns f32 [N, C, bh_p, bw_p].
     """
     n, ch, hp, wp = src_planar.shape
     _, nrb, _, nl = maps_lane.shape
@@ -659,7 +696,7 @@ def remap_strips(src_planar, maps_lane, strip_off, chunk_packed, *,
         gains = jnp.ones((n,), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n, nrb),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),               # src stays HBM
@@ -693,5 +730,5 @@ def remap_strips(src_planar, maps_lane, strip_off, chunk_packed, *,
             vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )
-    return fn(strip_off, chunk_packed, jnp.asarray(gains, jnp.float32),
-              src_planar, maps_lane)
+    return fn(strip_off, chunk_packed, groups,
+              jnp.asarray(gains, jnp.float32), src_planar, maps_lane)

@@ -76,14 +76,16 @@ def shard_state(state: CalibState, geom: StitchGeometry, mesh: Mesh,
     wpyr = tuple(_put(w, total, cam_sharding) for w in state.weight_pyr)
     valid = jax.device_put(state.valid_mask, rep)
     corners = np.asarray(list(geom.layout.corners) + [0] * (total - n), np.int32)
-    so = cp = wml = None
+    so = cp = wml = gl = None
     if state.warp_maps_lane is not None:
         # strip-warp plan, sharded with the cameras; padded cameras carry
-        # the kernel's skip flags (negative strip_off / chunk_packed)
+        # the kernel's skip flags (negative strip_off / chunk_packed,
+        # zero active-group counts)
         so = _put(state.warp_strip_off, total, cam_sharding, fill=-8)
         cp = _put(state.warp_chunk_packed, total, cam_sharding, fill=-1)
         wml = _put(state.warp_maps_lane, total, cam_sharding, fill=-1)
-    return (CalibState(fused, gains, wpyr, valid, so, cp, wml),
+        gl = _put(state.warp_groups, total, cam_sharding, fill=0)
+    return (CalibState(fused, gains, wpyr, valid, so, cp, wml, gl),
             jax.device_put(corners, rep), total)
 
 
@@ -101,7 +103,8 @@ def build_sharded_step(geom: StitchGeometry, mesh: Mesh, axis: str = "cam",
     lay = geom.layout
     levels = geom.num_bands
 
-    def local_step(frames, fused, gains, wpyr, so, cp, wml, valid, corners):
+    def local_step(frames, fused, gains, wpyr, so, cp, wml, gl, valid,
+                   corners):
         # frames: [local_n, H, W, 3] on this device
         local_n = frames.shape[0]
         me = jax.lax.axis_index(axis)
@@ -110,7 +113,7 @@ def build_sharded_step(geom: StitchGeometry, mesh: Mesh, axis: str = "cam",
             from video_stitcher_tpu.pipeline.stitcher import _prep_strip_source
             src = _prep_strip_source(frames, geom)
             sh, whc, slab_w = warp_static
-            bands = remap_strips(src, wml, so, cp, sh=sh, whc=whc,
+            bands = remap_strips(src, wml, so, cp, gl, sh=sh, whc=whc,
                                  slab_w=slab_w, gains=gains)
             bands = bands[:, :, :lay.band_h, :lay.band_w]
         else:
@@ -146,7 +149,7 @@ def build_sharded_step(geom: StitchGeometry, mesh: Mesh, axis: str = "cam",
         local_step, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis),
                   tuple(P(axis) for _ in range(levels + 1)),
-                  P(axis), P(axis), P(axis), P(), P()),
+                  P(axis), P(axis), P(axis), P(axis), P(), P()),
         out_specs=P(),
         check_vma=False)
 
@@ -156,13 +159,15 @@ def build_sharded_step(geom: StitchGeometry, mesh: Mesh, axis: str = "cam",
         so = state.warp_strip_off
         cp = state.warp_chunk_packed
         wml = state.warp_maps_lane
+        gl = state.warp_groups
         if warp_static is None and wml is None:
             # keep the gather-path spec arity with tiny dummies
             so = jnp.zeros((n, 1), jnp.int32)
             cp = jnp.zeros((n, 1, 1), jnp.int32)
             wml = jnp.zeros((n, 1, 2, 1), jnp.float32)
+            gl = jnp.zeros((n, 1, 1), jnp.int32)
         pano = sharded(frames, state.fused_maps, state.gains,
-                       state.weight_pyr, so, cp, wml,
+                       state.weight_pyr, so, cp, wml, gl,
                        state.valid_mask, corners)
         if out_size is None:
             return pano

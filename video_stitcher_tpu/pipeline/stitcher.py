@@ -78,8 +78,8 @@ def warp_bands(frames_u8, state: CalibState, geom: StitchGeometry,
         sh, whc, slab_w = warp_static
         src = _prep_strip_source(frames_u8, geom)
         bands = remap_strips(src, state.warp_maps_lane, state.warp_strip_off,
-                             state.warp_chunk_packed, sh=sh, whc=whc,
-                             slab_w=slab_w,
+                             state.warp_chunk_packed, state.warp_groups,
+                             sh=sh, whc=whc, slab_w=slab_w,
                              gains=state.gains)   # gain fused in-kernel
         return bands[:, :, :lay.band_h, :lay.band_w]
     else:
@@ -314,7 +314,8 @@ class Stitcher:
             fused_maps=mpj,
             warp_strip_off=jnp.asarray(plan.strip_off),
             warp_chunk_packed=jnp.asarray(plan.chunk_packed),
-            warp_maps_lane=repack_maps_lane(mpj))
+            warp_maps_lane=repack_maps_lane(mpj),
+            warp_groups=jnp.asarray(plan.groups))
         # rotate the plan stats so interpolate_states can build its
         # endpoint-union plan without ever touching the map tensors
         self._plan_stats_prev = getattr(self, "_plan_stats_for", None)
@@ -549,7 +550,7 @@ class Stitcher:
                 return _chunk_stats(np.asarray(fused), geom.warp_src_h,
                                     warp_w)
 
-            so = cp = None
+            so = cp = gl = None
             try:
                 stats = stats_for(old.warp_maps_lane, old.fused_maps).union(
                     stats_for(new.warp_maps_lane, new.fused_maps))
@@ -561,14 +562,15 @@ class Stitcher:
                 if (plan.sh, plan.whc, plan.slab_w) == self._warp_static:
                     so = jnp.asarray(plan.strip_off)
                     cp = jnp.asarray(plan.chunk_packed)
+                    gl = jnp.asarray(plan.groups)
             except (ValueError, AssertionError):
                 pass            # union plan infeasible: snap below
-            cache = (old.warp_maps_lane, new.warp_maps_lane, so, cp)
+            cache = (old.warp_maps_lane, new.warp_maps_lane, so, cp, gl)
             self._interp_plan = cache
-        so, cp = cache[2], cache[3]
+        so, cp, gl = cache[2], cache[3], cache[4]
         if so is None:
             return out            # union plan needs bigger statics: snap
         return out._replace(
             warp_maps_lane=lerp_valid(old.warp_maps_lane,
                                       new.warp_maps_lane),
-            warp_strip_off=so, warp_chunk_packed=cp)
+            warp_strip_off=so, warp_chunk_packed=cp, warp_groups=gl)
