@@ -152,9 +152,12 @@ def test_stitch_nv12_matches_rgb():
     from video_stitcher_tpu import Stitcher
     from video_stitcher_tpu.ops.color import nv12_to_rgb
     rng = np.random.default_rng(5)
+    # float32 blend isolates the NV12-vs-RGB input comparison (the default
+    # bf16-stored blend adds its own rounding to both sides)
     cfg = StitcherConfig(num_images=2, input_width=128, input_height=64,
                          enable_local=False, recalibrate=False,
-                         yaws=(0.0, 1.0), wrap_around=False)
+                         yaws=(0.0, 1.0), wrap_around=False,
+                         blend_dtype="float32")
     nv = rng.integers(0, 255, (2, 96, 128)).astype(np.uint8)
     rgb = np.asarray(jax.vmap(nv12_to_rgb)(jnp.asarray(nv))).astype(np.uint8)
     st = Stitcher(cfg)

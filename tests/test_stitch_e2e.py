@@ -2,6 +2,8 @@
 views from a known cylinder texture, stitch, and require high PSNR against
 the ground-truth panorama."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -318,7 +320,10 @@ def test_prewarp_strip_path_matches_gather(monkeypatch):
     import functools
     import video_stitcher_tpu.ops.remap_strips as rsmod
 
-    cfg = _prewarp_cfg()
+    # float32 blend isolates the warp-path comparison this test is about
+    # (the default bf16-stored blend adds its own +-1 rounding to both
+    # sides, which can diverge)
+    cfg = dataclasses.replace(_prewarp_cfg(), blend_dtype="float32")
     geom, _ = plan_geometry(cfg)
     rng = np.random.default_rng(5)
     scene = make_scene(geom.layout.pano_w, geom.layout.pano_h, rng)
@@ -356,7 +361,9 @@ def test_interpolate_states_strip_path(monkeypatch):
     monkeypatch.setattr(rsmod, "remap_strips",
                         functools.partial(rsmod.remap_strips, interpret=True))
 
-    cfg = StitcherConfig(**SMALL)
+    # float32 blend isolates the warp-path comparison (see
+    # test_prewarp_strip_path_matches_gather)
+    cfg = StitcherConfig(**{**SMALL, "blend_dtype": "float32"})
     geom, _ = plan_geometry(cfg)
     rng = np.random.default_rng(17)
     scene = make_scene(geom.layout.pano_w, geom.layout.pano_h, rng)

@@ -52,7 +52,7 @@ def _enable_compile_cache():
 def main(argv=None):
     _enable_compile_cache()
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=40)
     args = ap.parse_args(argv)
     it = args.iters
 
@@ -67,6 +67,17 @@ def main(argv=None):
     from video_stitcher_tpu.ops.remap_strips import prep_source_nv12
 
     print(json.dumps({"device": str(jax.devices()[0])}))
+    # each timeit closes with one D2H sync; on the tunneled dev TPU that
+    # round trip is ~25-40 ms and inflates every op by sync_ms/iters —
+    # measured and printed here so readers can subtract it
+    z = jax.jit(lambda x: x + 1)(jnp.zeros((4,), jnp.float32))
+    _sync(z)
+    t0 = time.perf_counter()
+    _sync(z)
+    print(json.dumps({"sync_round_trip_ms":
+                      round((time.perf_counter() - t0) * 1e3, 1),
+                      "per_op_inflation_ms":
+                      round((time.perf_counter() - t0) * 1e3 / it, 2)}))
     cfg = StitcherConfig(num_images=6, input_width=1920, input_height=1080,
                          enable_local=False, recalibrate=False)
     rng = np.random.default_rng(0)

@@ -113,17 +113,30 @@ def blend_bands(bands, weight_pyr: Sequence, layout: BandLayout, valid=None,
 
     bands:      f32 [N, C, bandH, bandW] (warped, gain-compensated)
     weight_pyr: normalized pyramids from build_weight_pyramids
-    precision:  pyramid matmul precision ("default" = fast bf16 MXU passes,
-                measured 54 dB vs "highest" end-to-end)
+    precision:  pyramid mode — "highest" (bit-faithful), "default" (bf16
+                MXU passes on f32 tensors, 54 dB vs "highest"), "bf16"
+                (bf16 STORAGE too: halves blend HBM traffic, 3.9 ->
+                3.0 ms on the 6-cam rig, 56 dB vs the f32 chain; the
+                collapse still accumulates each level in f32)
     Returns pano f32 [C, pano_h, pano_w].
     Replaces feed_online (blenders.cpp:700-749) + blend (blenders.cpp:758-831).
     """
     levels = layout.num_bands
+    bf16 = precision == "bf16"
+    dt = jnp.bfloat16 if bf16 else jnp.float32
     lap = laplacian_pyramid(bands, levels, precision)
-    acc = [place_bands(lap[l] * weight_pyr[l], layout, l) for l in range(levels + 1)]
+    acc = [place_bands(lap[l] * weight_pyr[l].astype(dt), layout, l)
+           for l in range(levels + 1)]
     out = acc[-1]
     for l in range(levels - 1, -1, -1):
-        out = acc[l] + pyr_up(out, acc[l].shape[-2], acc[l].shape[-1], precision)
+        # each level's sum runs in f32 (pyr_up emits f32 from the bf16
+        # operands for free via preferred_element_type), re-rounded to
+        # the storage dtype only between levels
+        out = acc[l].astype(jnp.float32) + pyr_up(
+            out, acc[l].shape[-2], acc[l].shape[-1], precision,
+            out_dtype=jnp.float32)
+        if bf16 and l > 0:
+            out = out.astype(dt)
     if valid is not None:
         out = out * valid[None]
     return out

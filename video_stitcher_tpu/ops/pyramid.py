@@ -26,9 +26,12 @@ import jax.numpy as jnp
 _K = (0.0625, 0.25, 0.375, 0.25, 0.0625)
 
 #: "highest" is bit-faithful to the cv gold tests; "default" uses the
-#: MXU's fast bf16 passes (~2x faster; measured 54 dB vs the exact blend
-#: end-to-end — far inside the reference's own +-3/255 CUDA-vs-CPU
-#: tolerance). Threaded through as an argument so callers (the blender via
+#: MXU's fast bf16 passes on f32-stored tensors (~2x faster; measured
+#: 54 dB vs the exact blend end-to-end); "bf16" additionally STORES the
+#: pyramid tensors in bfloat16, halving the blend's HBM traffic
+#: (3.9 -> 3.0 ms for the 6-cam rig; 56 dB vs the f32 chain — both far
+#: inside the reference's own +-3/255 CUDA-vs-CPU tolerance). Threaded
+#: through as an argument so callers (the blender via
 #: StitchGeometry.blend_precision) choose without global state.
 
 
@@ -97,37 +100,50 @@ def _conv5(x, axis: int):
     return (_K[0] * (sl(0) + sl(4)) + _K[1] * (sl(1) + sl(3)) + _K[2] * sl(2))
 
 
+def _mode(precision: str):
+    """(storage dtype, einsum precision) for a precision mode string."""
+    if precision == "bf16":
+        return jnp.bfloat16, "default"
+    return jnp.float32, precision
+
+
 def pyr_down(x, precision: str = "highest"):
     """[..., H, W] -> [..., ceil(H/2), ceil(W/2)]: blur then even-phase
     decimate, as two banded matmuls (MXU)."""
-    x = x.astype(jnp.float32)
+    dt, prec = _mode(precision)
+    x = x.astype(dt)
     h, w = x.shape[-2], x.shape[-1]
-    dw = jnp.asarray(_down_matrix(w))                        # [w2, w]
-    dh = jnp.asarray(_down_matrix(h))                        # [h2, h]
+    dw = jnp.asarray(_down_matrix(w)).astype(dt)             # [w2, w]
+    dh = jnp.asarray(_down_matrix(h)).astype(dt)             # [h2, h]
     y = jnp.einsum("...hw,ow->...ho", x, dw,
-                   preferred_element_type=jnp.float32, precision=precision)
+                   preferred_element_type=dt, precision=prec)
     return jnp.einsum("...hw,oh->...ow", y, dh,
-                      preferred_element_type=jnp.float32, precision=precision)
+                      preferred_element_type=dt, precision=prec)
 
 
-def pyr_up(x, out_h=None, out_w=None, precision: str = "highest"):
+def pyr_up(x, out_h=None, out_w=None, precision: str = "highest",
+           out_dtype=None):
     """[..., h, w] -> [..., out_h, out_w]: zero-stuff then blur with 4x
-    kernel (cv::pyrUp), as two banded matmuls (MXU)."""
+    kernel (cv::pyrUp), as two banded matmuls (MXU). out_dtype overrides
+    the mode's storage dtype for the result (the blend collapse
+    accumulates in f32 over bf16-stored levels)."""
+    dt, prec = _mode(precision)
     h, w = x.shape[-2], x.shape[-1]
     out_h = out_h or 2 * h
     out_w = out_w or 2 * w
-    x = x.astype(jnp.float32)
-    uw = jnp.asarray(_up_matrix(w, out_w))                   # [Wo, w]
-    uh = jnp.asarray(_up_matrix(h, out_h))                   # [Ho, h]
+    x = x.astype(dt)
+    uw = jnp.asarray(_up_matrix(w, out_w)).astype(dt)        # [Wo, w]
+    uh = jnp.asarray(_up_matrix(h, out_h)).astype(dt)        # [Ho, h]
     y = jnp.einsum("...hw,ow->...ho", x, uw,
-                   preferred_element_type=jnp.float32, precision=precision)
+                   preferred_element_type=dt, precision=prec)
     return jnp.einsum("...hw,oh->...ow", y, uh,
-                      preferred_element_type=jnp.float32, precision=precision)
+                      preferred_element_type=out_dtype or dt, precision=prec)
 
 
 def gaussian_pyramid(x, levels: int, precision: str = "highest"):
     """Returns [x, down(x), ..., down^levels(x)] (levels+1 entries)."""
-    pyr = [x.astype(jnp.float32)]
+    dt, _ = _mode(precision)
+    pyr = [x.astype(dt)]
     for _ in range(levels):
         pyr.append(pyr_down(pyr[-1], precision))
     return pyr

@@ -125,22 +125,29 @@ def build_sharded_step(geom: StitchGeometry, mesh: Mesh, axis: str = "cam",
             bands = jax.vmap(lambda im, m: remap_planar(im, m[0], m[1]))(
                 x, fused[:, :, :lay.band_h, :lay.band_w])
             bands = jnp.clip(bands * gains[:, None, None, None], 0.0, 255.0)
+        # storage dtype follows the blend mode ("bf16" stores + psums the
+        # weighted pyramids in bfloat16, like the single-chip blend_bands)
+        bf16 = geom.blend_precision == "bf16"
+        dt = jnp.bfloat16 if bf16 else jnp.float32
         lap = laplacian_pyramid(bands, levels, geom.blend_precision)
         acc = []
         for l in range(levels + 1):
             f = 1 << l
             pw = lay.pano_w // f
             ph = lay.pano_h // f
-            pano_l = jnp.zeros((3, ph, pw), jnp.float32)
-            wl = lap[l] * wpyr[l]
+            pano_l = jnp.zeros((3, ph, pw), dt)
+            wl = lap[l] * wpyr[l].astype(dt)
             for j in range(local_n):
                 corner = corners[me * local_n + j] // f
                 pano_l = _dyn_place(pano_l, wl[j], corner, pw, lay.wrap)
             acc.append(jax.lax.psum(pano_l, axis))
         out = acc[-1]
         for l in range(levels - 1, -1, -1):
-            out = acc[l] + pyr_up(out, acc[l].shape[-2], acc[l].shape[-1],
-                                  geom.blend_precision)
+            out = acc[l].astype(jnp.float32) + pyr_up(
+                out, acc[l].shape[-2], acc[l].shape[-1],
+                geom.blend_precision, out_dtype=jnp.float32)
+            if bf16 and l > 0:
+                out = out.astype(dt)
         out = out * valid[None]
         out = jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
         return jnp.moveaxis(out, 0, -1)
