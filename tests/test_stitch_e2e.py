@@ -172,6 +172,29 @@ def test_weight_pyramids_partition_of_unity(small_stitch):
         np.testing.assert_allclose(replaced[sel], 1.0, atol=1e-3)
 
 
+def test_blend_bf16_storage_matches_f32(small_stitch):
+    """The bf16-stored blend (default blend_dtype) must track the exact
+    f32 chain within the reference's own tolerance class — measured
+    56 dB on the 1080p rig; gated at 40 dB here on worst-case
+    white-noise bands."""
+    import jax.numpy as jnp
+    from video_stitcher_tpu.blend.multiband import blend_bands
+    cfg, geom, scene, frames, st, pano = small_stitch
+    lay = geom.layout
+    rng = np.random.default_rng(11)
+    bands = jnp.asarray(rng.uniform(
+        0, 255, (cfg.num_images, 3, lay.band_h, lay.band_w)
+    ).astype(np.float32))
+    f32 = np.asarray(blend_bands(bands, st.state.weight_pyr, lay,
+                                 st.state.valid_mask, "highest"))
+    b16 = np.asarray(blend_bands(bands, st.state.weight_pyr, lay,
+                                 st.state.valid_mask, "bf16"))
+    sel = np.asarray(st.state.valid_mask) > 0
+    err = f32[:, sel] - b16[:, sel]
+    p = psnr(np.clip(f32[:, sel], 0, 255), np.clip(b16[:, sel], 0, 255))
+    assert p >= 40.0, (p, float(np.abs(err).max()))
+
+
 def test_calibration_roundtrip(tmp_path, small_stitch):
     cfg, geom, scene, frames, st, pano = small_stitch
     path = str(tmp_path / "calib.npz")
