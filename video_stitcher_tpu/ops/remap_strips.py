@@ -375,6 +375,15 @@ def plan_strips_from_stats(stats: ChunkStats, band_shape, src_h: int,
     #    saves.
     #  * bf16 weight-chain arithmetic: neutral at SLAB_ROT, slower at
     #    SLAB_W (see kernel comment) — v5e Mosaic doesn't pack it.
+    #  * chunk-PAIR fusion (2 adjacent chunks sharing one decode + slab
+    #    rotate + [128, 512] x-matmul, halving per-chunk scalar work):
+    #    on the real rig some pairs' unioned taps DON'T fit 128 lanes
+    #    (span_pair > 127 at the band edges), and even as a timing proxy
+    #    it measured SLOWER (5.74 vs 5.38 ms) — the pair-union whc grows
+    #    64 -> 80 and the wider slab/wy work eats the savings.
+    #  * superstep grid (4-8 row-blocks per grid step, two-level
+    #    compacted lists): only ~0.2 ms over the per-rb compacted loop —
+    #    not worth the encoding complexity.
     import os
     env_slab = os.environ.get("VST_SLAB_W")
     c32 = np.minimum((c0 // 32) * 32, src_wp - 128).astype(np.int32)
