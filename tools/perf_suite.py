@@ -127,9 +127,12 @@ def main(argv=None):
     # blend bytes: per level, read bands+weights, write accumulators;
     # geometric series over levels ~4/3 of L0 for each tensor touched
     lvl_series = sum(0.25 ** l for l in range(geom.num_bands + 1))
-    blend_bytes = int((n * 3 * bh * bw * 4 * 3      # lap build (r+w+r)
-                       + n * 3 * bh * bw * 4 * 2    # weight mul + place
-                       + 3 * lay.pano_h * lay.pano_w * 4 * 2) * lvl_series)
+    # element size follows the blend storage mode ("bf16" halves traffic;
+    # the f32 band input read is counted at its real width)
+    el = 2 if geom.blend_precision == "bf16" else 4
+    blend_bytes = int((n * 3 * bh * bw * (4 + el * 2)   # lap build (r+w+r)
+                       + n * 3 * bh * bw * el * 2       # weight mul + place
+                       + 3 * lay.pano_h * lay.pano_w * el * 2) * lvl_series)
     # pyramid convs as banded matmuls: 5-tap separable over rows+cols
     blend_flops = int(2 * 5 * 2 * n * 3 * bh * bw * lvl_series * 3)
     ms = timeit(blend_j, bands, state, iters=it, name="blend_pack",
@@ -185,7 +188,11 @@ def main(argv=None):
            name="sharded_step_1dev",
            meta={"path": "pallas" if st._warp_static else "gather",
                  "max_diff_vs_single": diff})
-    assert diff <= 1, f"sharded strip warp mismatch on-device: {diff}"
+    # bf16-stored blend: the sharded psum of bf16 weighted pyramids sums
+    # in a different order than the single-chip static adds, so a few
+    # u8 steps of rounding divergence are expected — gate at the
+    # reference's own CUDA-vs-CPU bound (test_blenders.cuda.cpp:95)
+    assert diff <= 3, f"sharded strip warp mismatch on-device: {diff}"
 
 
 if __name__ == "__main__":
