@@ -94,6 +94,38 @@ def test_remap_strips_strip_mode_odd_nrb(rng, monkeypatch):
         np.testing.assert_allclose(out[n], gold, atol=2.0)
 
 
+def test_remap_strips_single_slot_resident(rng, monkeypatch):
+    """Single-slot resident mode (one full source copy fits the VMEM
+    budget, two don't — the 4K case): one DMA per camera, no
+    double-buffering, must still match the gather gold."""
+    import video_stitcher_tpu.ops.remap_strips as rs
+
+    src_h, src_w = 48, 256
+    src_bytes = 3 * src_h * src_w * 2
+    monkeypatch.setattr(rs, "resident_src_budget",
+                        lambda: src_bytes + src_bytes // 2)   # 1x fits, 2x not
+    bh, bw = 2 * ROW_BLOCK, 128
+    frames = rng.integers(0, 255, (2, src_h, src_w, 3)).astype(np.uint8)
+    gy, gx = np.mgrid[0:bh, 0:bw].astype(np.float32)
+    mx = gx * 1.6 + 5 * np.sin(gy / 7.0)
+    my = gy * 2.0 + 3 * np.cos(gx / 9.0) + 4
+    maps = np.stack([np.stack([mx, my]),
+                     np.stack([mx * 0.9 + 6, my * 0.8 + 1])]).astype(np.float32)
+    mp = pad_maps(maps)
+    plan = plan_strips(mp, src_h, src_w)
+    assert plan.sh == plan.src_hp, "single-copy budget must pick residency"
+    src = prep_source(jnp.asarray(frames))
+    out = np.asarray(remap_strips(
+        src, repack_maps_lane(jnp.asarray(mp)), jnp.asarray(plan.strip_off),
+        jnp.asarray(plan.chunk_packed), jnp.asarray(plan.groups),
+        sh=plan.sh, whc=plan.whc, slab_w=plan.slab_w, interpret=True))
+    for n in range(2):
+        img = np.moveaxis(frames[n], -1, 0).astype(np.float32)
+        gold = np.asarray(remap_planar(img, mp[n, 0], mp[n, 1],
+                                       border="constant"))
+        np.testing.assert_allclose(out[n], gold, atol=2.0)
+
+
 def test_remap_strips_slab128(rng, monkeypatch):
     """The experimental 32-aligned 128-lane slab (VST_SLAB_W=128) must
     stay numerically identical to the gather gold — the plan encodes

@@ -338,7 +338,15 @@ def plan_strips_from_stats(stats: ChunkStats, band_shape, src_h: int,
     rb_lo8 = (rb_lo // 8) * 8
     sh = int((rb_hi - rb_lo8 + 1).max()) + row_slack
     sh = min(_round_up(max(sh, whc, min_sh, ROW_ALIGN), ROW_ALIGN), src_hp)
-    if 2 * channels * src_hp * src_wp * 2 <= resident_src_budget():
+    # resident-source mode whenever even ONE source copy fits the budget:
+    # strip mode's per-row-block DMAs are hugely redundant when row-block
+    # source spans are large (cylinder curvature across a band row — at a
+    # 4-cam 4K rig sh would be 896 of 2176, i.e. 13 GB of overlapping DMA
+    # per frame, measured ~950 ms/frame). The kernel picks single- vs
+    # double-buffered residency from the same budget (see _strip_slots);
+    # single-slot costs only one un-overlapped source DMA per camera
+    # (~60 us at 4K).
+    if channels * src_hp * src_wp * 2 <= resident_src_budget():
         sh = src_hp                     # resident-source mode (see kernel)
 
     strip_off = np.minimum(rb_lo8, src_hp - sh).astype(np.int32)
@@ -496,24 +504,36 @@ def _kernel(strip_off, chunk_packed, groups, gains, src_hbm, map_ref,
 
     if full_src:
         # one DMA per CAMERA: the whole source plane stays resident across
-        # its row-blocks, double-buffered across cameras
-        slot = jax.lax.rem(cam, 2)
-
+        # its row-blocks — double-buffered across cameras when two copies
+        # fit the VMEM budget, else a single slot (the next camera's DMA
+        # then can't prefetch, costing one un-overlapped source copy per
+        # camera — ~60 us for a 4K plane, vs strip mode's ~13 GB of
+        # overlapping per-row-block DMAs on the same rig)
         def cam_dma(c, s):
             return pltpu.make_async_copy(src_hbm.at[c], strip.at[s],
                                          sem.at[s])
 
-        @pl.when(jnp.logical_and(cam == 0, rb == 0))
-        def _():
-            cam_dma(cam, slot).start()
+        if strip.shape[0] == 1:
+            slot = 0
 
-        @pl.when(jnp.logical_and(rb == 0, cam < n_cam - 1))
-        def _():
-            cam_dma(cam + 1, 1 - slot).start()
+            @pl.when(rb == 0)
+            def _():
+                cam_dma(cam, 0).start()
+                cam_dma(cam, 0).wait()
+        else:
+            slot = jax.lax.rem(cam, 2)
 
-        @pl.when(rb == 0)
-        def _():
-            cam_dma(cam, slot).wait()
+            @pl.when(jnp.logical_and(cam == 0, rb == 0))
+            def _():
+                cam_dma(cam, slot).start()
+
+            @pl.when(jnp.logical_and(rb == 0, cam < n_cam - 1))
+            def _():
+                cam_dma(cam + 1, 1 - slot).start()
+
+            @pl.when(rb == 0)
+            def _():
+                cam_dma(cam, slot).wait()
 
         s0 = 0                          # strip row 0 IS source row 0
     else:
@@ -704,6 +724,12 @@ def remap_strips(src_planar, maps_lane, strip_off, chunk_packed, groups, *,
     if gains is None:
         gains = jnp.ones((n,), jnp.float32)
 
+    # residency slots: 2 when double-buffering fits the budget, 1 for the
+    # single-slot resident mode (full source, large planes — e.g. 4K);
+    # strip mode always double-buffers (its strips are small)
+    full_src = sh == hp
+    slots = 1 if (full_src
+                  and 2 * ch * sh * wp * 2 > resident_src_budget()) else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n, nrb),
@@ -717,8 +743,8 @@ def remap_strips(src_planar, maps_lane, strip_off, chunk_packed, groups, *,
                                lambda c, r, *_: (c, 0, r, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, ch, sh, wp), jnp.bfloat16),   # double-buffered
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((slots, ch, sh, wp), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((slots,)),
         ],
     )
     kernel = functools.partial(_kernel, sh=sh, whc=whc, slab_w=slab_w,
@@ -727,7 +753,7 @@ def remap_strips(src_planar, maps_lane, strip_off, chunk_packed, groups, *,
     # 16 MB scoped-vmem limit at 4K+ sources (2*C*sh*W bf16); size the
     # limit to the actual allocation plus headroom for blocks/registers,
     # capped at the device generation's VMEM (see resident_src_budget)
-    strip_bytes = 2 * ch * sh * wp * 2
+    strip_bytes = slots * ch * sh * wp * 2
     vmem_cap = max(device_vmem_bytes() - (16 << 20), 12 << 20)
     vmem_limit = min(vmem_cap, strip_bytes + 24 * 1024 * 1024)
     fn = pl.pallas_call(
