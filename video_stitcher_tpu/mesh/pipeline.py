@@ -128,7 +128,7 @@ _match_jit = jax.jit(knn_ratio_match)
 _ransac_jit = jax.jit(ransac_homography)
 
 
-def prewarm_mesh_programs(cfg, geom) -> None:
+def prewarm_mesh_programs(cfg, geom, strip_warp: bool = False) -> None:
     """Compile the recalibration program set concurrently, ahead of use.
 
     Cold calibration is ~90% jit compiles of these programs (measured by
@@ -207,8 +207,15 @@ def prewarm_mesh_programs(cfg, geom) -> None:
                                  warp_w).compile()
         repack_maps_lane.lower(pmaps_st).compile()
 
-    jobs = [f_warp, f_detect, f_match, f_ransac, f_salience,
+    # the XLA-gather mesh-estimation warp is only executed when the
+    # production strip path is unavailable — its compile is the single
+    # biggest program of the set (48 s of the 76 s cold calibration on
+    # the dev TPU), so skip it when the strip kernel will be used (the
+    # strip twin compiles in ~4 s at first use, after the plan exists)
+    jobs = [f_detect, f_match, f_ransac, f_salience,
             f_mesh2map, f_compose, f_plan_bits]
+    if not strip_warp:
+        jobs.insert(0, f_warp)
     with cf.ThreadPoolExecutor(max_workers=len(jobs)) as ex:
         for fut in [ex.submit(j) for j in jobs]:
             try:

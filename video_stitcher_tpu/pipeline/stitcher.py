@@ -172,8 +172,15 @@ class Stitcher:
             from video_stitcher_tpu.mesh.pipeline import \
                 prewarm_mesh_programs
             geom0, _ = plan_geometry(self.cfg)
+            # self.geom isn't set yet, so evaluate the strip-path choice
+            # against the pre-planned geometry (same expression as
+            # _use_strip_warp)
+            strip0 = (self.cfg.use_pallas_remap
+                      and jax.default_backend() == "tpu"
+                      and geom0.warp_src_w >= 256)
             prewarm = threading.Thread(
-                target=prewarm_mesh_programs, args=(self.cfg, geom0),
+                target=prewarm_mesh_programs,
+                args=(self.cfg, geom0, strip0),
                 daemon=True)
             prewarm.start()
         geom, state, aux = calibrate(frames, self.cfg)
