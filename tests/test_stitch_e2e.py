@@ -444,3 +444,14 @@ def test_calibration_roundtrip_strip_path(tmp_path, monkeypatch):
     assert st2._warp_static == st._warp_static
     np.testing.assert_array_equal(np.asarray(pano),
                                   np.asarray(st2.stitch(frames)))
+
+    # legacy checkpoint (pre-warp_groups): the loader derives the
+    # compacted group lists from the packed offsets
+    from video_stitcher_tpu.calib.state import load_state
+    z = dict(np.load(path))
+    z.pop("warp_groups")
+    legacy = str(tmp_path / "calib_legacy.npz")
+    np.savez_compressed(legacy, **z)
+    st_leg = load_state(legacy)
+    np.testing.assert_array_equal(np.asarray(st_leg.warp_groups),
+                                  np.asarray(st2.state.warp_groups))
