@@ -98,10 +98,12 @@ SLAB_W = 256           # lane width of the rotated source slab
 SLAB_ROT = 192
 WIN_W = 128            # lane width of the in-register window
 ROW_ALIGN = 16         # window row starts aligned to the bf16 sublane tile
-# when the double-buffered FULL per-camera source fits the resident budget,
-# the plan sets sh = src_hp and the kernel DMAs each camera once
-# (resident-source mode) instead of one overlapping strip per row-block —
-# ~10x less HBM traffic on the 1080p rig (1.48 GB -> 0.15 GB per frame).
+# when ONE full per-camera source fits the resident budget, the plan sets
+# sh = src_hp and the kernel DMAs each camera once (resident-source mode)
+# instead of one overlapping strip per row-block — ~10x less HBM traffic
+# on the 1080p rig (1.48 GB -> 0.15 GB per frame). The kernel
+# double-buffers the resident source across cameras when TWO copies fit,
+# else uses a single slot (one un-overlapped source DMA per camera).
 # The budget is derived from the device generation's VMEM size (there is no
 # query API): the plan falls back to strip mode when the source doesn't
 # fit, so a wrong guess costs bandwidth, not a compile failure.
