@@ -172,6 +172,37 @@ def test_weight_pyramids_partition_of_unity(small_stitch):
         np.testing.assert_allclose(replaced[sel], 1.0, atol=1e-3)
 
 
+def test_stitch_batch_matches_per_frame(small_stitch, monkeypatch):
+    """stitch_batch (one dispatch over B frame sets) must equal per-frame
+    stitch exactly, on both the gather path and the strip path (where the
+    kernel reuses the per-camera plan cyclically across the batch)."""
+    import functools
+    import video_stitcher_tpu.ops.remap_strips as rsmod
+
+    cfg, geom, scene, frames, st, pano = small_stitch
+    rng = np.random.default_rng(31)
+    f2 = np.clip(frames.astype(np.int32)
+                 + rng.integers(-20, 20, frames.shape), 0, 255
+                 ).astype(np.uint8)
+    batch = np.stack([frames, f2])
+
+    # gather path (small_stitch's default on CPU)
+    out = st.stitch_batch(batch)
+    np.testing.assert_array_equal(out[0], np.asarray(st.stitch(frames)))
+    np.testing.assert_array_equal(out[1], np.asarray(st.stitch(f2)))
+
+    # strip path (forced, interpret mode)
+    monkeypatch.setattr(Stitcher, "_use_strip_warp", lambda self: True)
+    monkeypatch.setattr(rsmod, "remap_strips",
+                        functools.partial(rsmod.remap_strips, interpret=True))
+    st2 = Stitcher(cfg)
+    st2.calibrate(frames)
+    assert st2._warp_static is not None
+    out2 = st2.stitch_batch(batch)
+    np.testing.assert_array_equal(out2[0], np.asarray(st2.stitch(frames)))
+    np.testing.assert_array_equal(out2[1], np.asarray(st2.stitch(f2)))
+
+
 def test_blend_bf16_storage_matches_f32(small_stitch):
     """The bf16-stored blend (default blend_dtype) must track the exact
     f32 chain within the reference's own tolerance class — measured

@@ -499,9 +499,13 @@ def repack_maps_lane(maps):
 
 def _kernel(strip_off, chunk_packed, groups, gains, src_hbm, map_ref,
             out_ref, strip, sem, *, sh, whc, slab_w, ncc, channels,
-            n_cam, n_rb):
+            n_cam, n_rb, n_maps):
     cam = pl.program_id(0)
     rb = pl.program_id(1)
+    # batched-frame mode (stitch_batch): n_cam = B * n_maps cameras share
+    # the n_maps per-camera plans/maps cyclically; cam_m indexes the plan
+    # set, cam the source/gain/output
+    cam_m = cam if n_maps == n_cam else jax.lax.rem(cam, n_maps)
     full_src = sh == src_hbm.shape[2]   # resident-source mode (static)
 
     if full_src:
@@ -540,12 +544,13 @@ def _kernel(strip_off, chunk_packed, groups, gains, src_hbm, map_ref,
         s0 = 0                          # strip row 0 IS source row 0
     else:
         def strip_dma(c, r, slot):
-            s0 = pl.multiple_of(strip_off[c, r], 8)
+            cm = c if n_maps == n_cam else jax.lax.rem(c, n_maps)
+            s0 = pl.multiple_of(strip_off[cm, r], 8)
             return pltpu.make_async_copy(
                 src_hbm.at[c, :, pl.ds(s0, sh), :], strip.at[slot],
                 sem.at[slot])
 
-        nonempty = strip_off[cam, rb] >= 0
+        nonempty = strip_off[cam_m, rb] >= 0
         # slot parity follows the GLOBAL grid step (not rb alone): with an
         # odd n_rb, rb-parity would break the prefetch chain at every
         # camera boundary (prefetch lands in one buffer, the next step
@@ -567,8 +572,11 @@ def _kernel(strip_off, chunk_packed, groups, gains, src_hbm, map_ref,
         nxt_cam = jnp.where(is_last, cam, nxt_cam)   # keep indices in range
         nxt_rb = jnp.where(is_last, rb, nxt_rb)
 
+        nxt_m = (nxt_cam if n_maps == n_cam
+                 else jax.lax.rem(nxt_cam, n_maps))
+
         @pl.when(jnp.logical_and(jnp.logical_not(is_last),
-                                 strip_off[nxt_cam, nxt_rb] >= 0))
+                                 strip_off[nxt_m, nxt_rb] >= 0))
         def _():
             strip_dma(nxt_cam, nxt_rb, 1 - slot).start()
 
@@ -576,7 +584,7 @@ def _kernel(strip_off, chunk_packed, groups, gains, src_hbm, map_ref,
         def _():
             strip_dma(cam, rb, slot).wait()
 
-        s0 = pl.multiple_of(strip_off[cam, rb], 8)
+        s0 = pl.multiple_of(strip_off[cam_m, rb], 8)
 
     # weight K extent / slab read lanes (SLAB_ROT reads the full 256-lane
     # slab but rotates+slices it to a 128-lane window, see module docs)
@@ -675,12 +683,12 @@ def _kernel(strip_off, chunk_packed, groups, gains, src_hbm, map_ref,
     def group(i, _):
         # i-th ACTIVE group of this row-block, from the plan's compacted
         # list (groups[..., 0] is the count driving the loop bound)
-        g = groups[cam, rb, 1 + i]
+        g = groups[cam_m, rb, 1 + i]
         ckg = pl.multiple_of(g * 128, 128)
         ls = []
         for j in range(GROUP):
             k = g * GROUP + j
-            val = chunk_rows(k, chunk_packed[cam, rb, k])
+            val = chunk_rows(k, chunk_packed[cam_m, rb, k])
             # [ch, 256] -> masked [ch*8, 256] re-tile LHS rows
             ls.append(jnp.broadcast_to(
                 val[:, None, :], (channels, ROW_BLOCK, PX)
@@ -702,7 +710,7 @@ def _kernel(strip_off, chunk_packed, groups, gains, src_hbm, map_ref,
                 o[c * ROW_BLOCK:(c + 1) * ROW_BLOCK, :]
         return 0
 
-    jax.lax.fori_loop(0, groups[cam, rb, 0], group, 0)
+    jax.lax.fori_loop(0, groups[cam_m, rb, 0], group, 0)
 
 
 @functools.partial(jax.jit,
@@ -717,9 +725,15 @@ def remap_strips(src_planar, maps_lane, strip_off, chunk_packed, groups, *,
     always pass the SAME plan's values together); gains: optional f32 [N]
     per-camera multiplier fused into the output write (with the u8-range
     clamp). Returns f32 [N, C, bh_p, bw_p].
+
+    Batched frames (Stitcher.stitch_batch): src_planar/gains may carry
+    N = B * n_maps cameras while the plan/maps arrays stay [n_maps, ...];
+    cameras reuse the plan set cyclically (the maps are per-CAMERA state,
+    identical across the B frame sets).
     """
     n, ch, hp, wp = src_planar.shape
-    _, nrb, _, nl = maps_lane.shape
+    n_maps, nrb, _, nl = maps_lane.shape
+    assert n % n_maps == 0, (n, n_maps)
     ncc = nl // PX
     bh = nrb * ROW_BLOCK
     bw = ncc * CHUNK_W
@@ -738,7 +752,7 @@ def remap_strips(src_planar, maps_lane, strip_off, chunk_packed, groups, *,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),               # src stays HBM
             pl.BlockSpec((1, 1, 2, nl),
-                         lambda c, r, *_: (c, r, 0, 0),
+                         lambda c, r, *_, _nm=n_maps: (c % _nm, r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, ch, ROW_BLOCK, bw),
@@ -750,7 +764,8 @@ def remap_strips(src_planar, maps_lane, strip_off, chunk_packed, groups, *,
         ],
     )
     kernel = functools.partial(_kernel, sh=sh, whc=whc, slab_w=slab_w,
-                               ncc=ncc, channels=ch, n_cam=n, n_rb=nrb)
+                               ncc=ncc, channels=ch, n_cam=n, n_rb=nrb,
+                               n_maps=n_maps)
     # the double-buffered strip scratch alone can exceed Mosaic's default
     # 16 MB scoped-vmem limit at 4K+ sources (2*C*sh*W bf16); size the
     # limit to the actual allocation plus headroom for blocks/registers,

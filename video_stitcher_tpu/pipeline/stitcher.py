@@ -77,10 +77,17 @@ def warp_bands(frames_u8, state: CalibState, geom: StitchGeometry,
         from video_stitcher_tpu.ops.remap_strips import remap_strips
         sh, whc, slab_w = warp_static
         src = _prep_strip_source(frames_u8, geom)
+        gains = state.gains
+        n_maps = state.warp_maps_lane.shape[0]
+        if src.shape[0] != n_maps:
+            # batched frames (stitch_batch): the kernel reuses the
+            # per-camera plan/maps cyclically; gains are indexed by the
+            # actual grid camera, so tile them to B * n_maps
+            gains = jnp.tile(gains, src.shape[0] // n_maps)
         bands = remap_strips(src, state.warp_maps_lane, state.warp_strip_off,
                              state.warp_chunk_packed, state.warp_groups,
                              sh=sh, whc=whc, slab_w=slab_w,
-                             gains=state.gains)   # gain fused in-kernel
+                             gains=gains)   # gain fused in-kernel
         return bands[:, :, :lay.band_h, :lay.band_w]
     else:
         from video_stitcher_tpu.calib.calibration import prewarp_source
@@ -152,6 +159,7 @@ class Stitcher:
         self.state: Optional[CalibState] = None
         self._step = None
         self._step_out = None
+        self._step_batch = None
         self._out = None
         self._warp_static = None
         #: multi-chip state (cfg.camera_shards > 1): dict with the camera
@@ -271,6 +279,7 @@ class Stitcher:
         self._step = jax.jit(functools.partial(
             stitch_pano, geom=geom, warp_static=self._warp_static))
         self._step_out = None          # rebuilt lazily with the out policy
+        self._step_batch = None        # rebuilt lazily per batch size
 
     def _use_strip_warp(self) -> bool:
         cfg = self.cfg
@@ -367,6 +376,47 @@ class Stitcher:
         and converts to planar RGB on device (half the host->device bytes
         of RGB, no layout transpose)."""
         return self.stitch(nv12, device)
+
+    def stitch_batch(self, frames: np.ndarray, device: bool = False):
+        """Offline batched stitching: u8 [B, N, H, W, 3] (or NV12
+        [B, N, H*3/2, W]) -> u8 panos [B, pano_h, pano_w, 3] in ONE
+        jitted dispatch (no reference equivalent): the warp folds the B
+        frame sets into the strip kernel's camera grid axis (the
+        per-camera plans and maps are calibration state, identical
+        across frames, so the kernel reuses them cyclically), and the
+        blend runs vmapped over B.
+
+        Measured on v5e: NOT faster than pipelined per-frame dispatches
+        (97 fps at B=4 / 84 at B=8 vs 119 per-frame — the per-frame path
+        already overlaps dispatch with compute, and the fused batch
+        program schedules worse). Use it for its single-dispatch API
+        (e.g. driving the chip from a slow host), not for throughput."""
+        b = frames.shape[0]
+        if self._shard is not None:        # sharded step: loop the batch
+            panos = [self.stitch(frames[i], device=True) for i in range(b)]
+            out = jnp.stack(panos)
+            return out if device else np.asarray(out)
+        with self._swap_lock:
+            state = self.state
+            geom, ws = self.geom, self._warp_static
+            cache = self._step_batch
+            if cache is None or cache[0] != b or cache[1] != ws:
+                def step(f, s):
+                    flat = f.reshape((b * f.shape[1],) + f.shape[2:])
+                    if ws is not None:
+                        bands = warp_bands(flat, s, geom, ws)
+                        bands = bands.reshape((b, f.shape[1])
+                                              + bands.shape[1:])
+                    else:
+                        bands = jax.vmap(
+                            lambda fr: warp_bands(fr, s, geom, None))(f)
+                    return jax.vmap(
+                        lambda bb: blend_pack(bb, s, geom))(bands)
+                cache = (b, ws, jax.jit(step))
+                self._step_batch = cache
+            fn = cache[2]
+        panos = fn(jnp.asarray(frames), state)
+        return panos if device else np.asarray(panos)
 
     def _out_size(self):
         """Output frame size under the aspect policy (timed.cpp:254-292)."""
