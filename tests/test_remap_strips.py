@@ -169,19 +169,58 @@ def test_remap_strips_rot_and_wide_agree(rng):
     maps = np.stack([mx, my])[None].astype(np.float32)
     mp = pad_maps(maps)
     plan = plan_strips(mp, src_h, src_w)
-    assert plan.slab_w == SLAB_ROT
+    # a rot mode (the 2.2x magnification needs an 80-lane window) whose
+    # packing must stay valid at SLAB_ROT (kw=128) and the wide slab
+    assert 128 < plan.slab_w < SLAB_W
     src = prep_source(jnp.asarray(frames))
     ml = repack_maps_lane(jnp.asarray(mp))
     img = np.moveaxis(frames[0], -1, 0).astype(np.float32)
     gold = np.asarray(remap_planar(img, mp[0, 0], mp[0, 1],
                                    border="constant"))
-    for slab_w in (SLAB_ROT, SLAB_W):
+    for slab_w in (plan.slab_w, SLAB_ROT, SLAB_W):
         out = np.asarray(remap_strips(
             src, ml, jnp.asarray(plan.strip_off),
             jnp.asarray(plan.chunk_packed), jnp.asarray(plan.groups),
             sh=plan.sh, whc=plan.whc,
             slab_w=slab_w, interpret=True))
         np.testing.assert_allclose(out[0], gold, atol=2.0)
+
+
+def test_remap_strips_rot64_parity(rng, monkeypatch):
+    """SLAB_ROT64 (64-lane rotated window; an env-selectable negative
+    result, see ROT_KWS note) must match the gather gold, including
+    right-edge chunks where the 64-lane window-start clip binds, and the
+    same plan must stay valid at the wider modes (its packed window start
+    decodes into a superset window)."""
+    from video_stitcher_tpu.ops.remap_strips import (
+        SLAB_ROT, SLAB_ROT64, SLAB_W)
+
+    monkeypatch.setenv("VST_SLAB_W", str(SLAB_ROT64))
+    src_h, src_w = 40, 256
+    bh, bw = 2 * ROW_BLOCK, 256
+    frames = rng.integers(0, 255, (1, src_h, src_w, 3)).astype(np.uint8)
+    gy, gx = np.mgrid[0:bh, 0:bw].astype(np.float32)
+    # sweep the full source width so the rightmost chunks sample the last
+    # 64 source columns (the c0_64 clip path)
+    mx = gx * (src_w - 2.0) / bw + 2 * np.sin(gy / 5.0)
+    my = gy * 1.9 + 2 * np.cos(gx / 9.0) + 1
+    maps = np.stack([mx, my])[None].astype(np.float32)
+    mp = pad_maps(maps)
+    plan = plan_strips(mp, src_h, src_w)
+    assert plan.slab_w == SLAB_ROT64
+    src = prep_source(jnp.asarray(frames))
+    ml = repack_maps_lane(jnp.asarray(mp))
+    img = np.moveaxis(frames[0], -1, 0).astype(np.float32)
+    gold = np.asarray(remap_planar(img, mp[0, 0], mp[0, 1],
+                                   border="constant"))
+    for slab_w in (SLAB_ROT64, SLAB_ROT, SLAB_W):
+        out = np.asarray(remap_strips(
+            src, ml, jnp.asarray(plan.strip_off),
+            jnp.asarray(plan.chunk_packed), jnp.asarray(plan.groups),
+            sh=plan.sh, whc=plan.whc,
+            slab_w=slab_w, interpret=True))
+        np.testing.assert_allclose(out[0], gold, atol=2.0,
+                                   err_msg=f"slab_w={slab_w}")
 
 
 def test_plan_strips_fuzz(rng):
@@ -194,7 +233,7 @@ def test_plan_strips_fuzz(rng):
     window, and only in the form it was derived in.
     """
     from video_stitcher_tpu.ops.remap_strips import (
-        ROW_ALIGN, SLAB_ROT, SLAB_W, plan_strips,
+        ROW_ALIGN, SLAB_W, _rot_kw, plan_strips,
     )
 
     for case in range(30):
@@ -263,12 +302,13 @@ def test_plan_strips_fuzz(rng):
                         c_off = ((v >> 8) & 0x3FF) * 32
                         win_lo, win_w = c_off, 128
                         read_w = 128
-                    elif plan.slab_w == SLAB_ROT:
+                    elif 128 < plan.slab_w < SLAB_W:
                         # 256-lane slab read at the 128-aligned start,
-                        # lane-rotated by dc, sliced to 128 lanes
+                        # lane-rotated by dc, sliced to kw lanes
                         c_off = ((v >> 8) & 0xFF) * 128
                         dc = (v >> 16) & 0x1FF
-                        win_lo, win_w = c_off + dc, 128
+                        win_w = _rot_kw(plan.slab_w)
+                        win_lo = c_off + dc
                         read_w = SLAB_W
                     else:
                         # the kernel slices the slab at the 128-aligned

@@ -52,7 +52,8 @@ def main(argv=None):
     state = st.state
     maps = state.fused_maps
     n, _, bh, bw = maps.shape
-    kw = 128 if slab_w in (128, rs.SLAB_ROT) else slab_w  # contraction width
+    kw = (rs._rot_kw(slab_w) if 128 < slab_w < rs.SLAB_W
+          else 128 if slab_w == 128 else slab_w)        # contraction width
     print(f"bands: [{n}, 3, {bh}, {bw}]  sh={sh} whc={whc} "
           f"slab_w={slab_w} nrb={bh // rs.ROW_BLOCK} ncc={bw // rs.CHUNK_W}")
     chunks = n * (bh // rs.ROW_BLOCK) * (bw // rs.CHUNK_W)
@@ -80,14 +81,18 @@ def main(argv=None):
         state.warp_groups, sh=sh, whc=whc, slab_w=slab_w), src,
         name=f"remap_strips (plan: slab_w={slab_w})")
 
-    # A/B the slab modes on the same plan (the ROT and WIDE packed
-    # encodings are identical, so one plan serves both; ROT requires the
-    # plan to have chosen it — taps fit 128 lanes from the window start)
-    if slab_w == rs.SLAB_ROT:
-        timeit(lambda s: rs.remap_strips(
-            s, maps_lane, state.warp_strip_off, state.warp_chunk_packed,
-            state.warp_groups, sh=sh, whc=whc, slab_w=rs.SLAB_W), src,
-            name=f"  variant slab_w={rs.SLAB_W} (wide)")
+    # A/B the slab modes on the same plan (a narrow rot plan's packing
+    # stays valid at every WIDER mode — the rotate window becomes a
+    # superset — so one plan serves the whole comparison ladder)
+    if 128 < slab_w < rs.SLAB_W:
+        for variant in [128 + w // 2 for w in rs.ROT_KWS
+                        if 128 + w // 2 > slab_w] + [rs.SLAB_W]:
+            timeit(lambda s, v=variant: rs.remap_strips(
+                s, maps_lane, state.warp_strip_off, state.warp_chunk_packed,
+                state.warp_groups, sh=sh, whc=whc, slab_w=v), src,
+                name=f"  variant slab_w={variant}"
+                     + (" (wide)" if variant == rs.SLAB_W else
+                        f" (kw={rs._rot_kw(variant)})"))
 
 
 if __name__ == "__main__":

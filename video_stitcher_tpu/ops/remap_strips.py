@@ -96,6 +96,28 @@ SLAB_W = 256           # lane width of the rotated source slab
 # sits between 128 and 256 so min_slab_w's max() keeps a WIDE plan sticky
 # across recalibs and never narrows one illegally).
 SLAB_ROT = 192
+# Narrower rot windows: the same rotate, sliced to kw < 128 lanes — the
+# tent-weight matrix shrinks to kw sublanes. Mode code = 128 + kw//2 for
+# kw in {64, 80, 96, 112, 128} (so SLAB_ROT itself is the kw=128 point
+# and codes order narrow -> wide, keeping min_slab_w's max() stickiness
+# exact). MEASURED NEGATIVE on v5e (tools/bench_warp.py, real rig maps,
+# same process): kw=80 5.62 ms vs kw=96/112/128 all ~5.45 ms — sub-128
+# windows save wx sublanes but the kernel is control-flow/scalar-issue
+# bound per chunk (see attribution note below), and masked sub-tile lane
+# extents cost more than the VPU they save. The planner therefore keeps
+# SLAB_ROT (kw=128); narrow modes remain env-selectable (VST_SLAB_W=160..
+# 184) and parity-tested so the result is reproducible.
+SLAB_ROT64 = 160
+ROT_KWS = (64, 80, 96, 112, 128)
+
+
+def _rot_code(kw: int) -> int:
+    return 128 + kw // 2
+
+
+def _rot_kw(code: int) -> int:
+    """Window lanes for a rot-mode code (128 < code < SLAB_W)."""
+    return (code - 128) * 2
 WIN_W = 128            # lane width of the in-register window
 ROW_ALIGN = 16         # window row starts aligned to the bf16 sublane tile
 # when ONE full per-camera source fits the resident budget, the plan sets
@@ -367,7 +389,11 @@ def plan_strips_from_stats(stats: ChunkStats, band_shape, src_h: int,
     cover = (win_lo <= req_lo) & (win_lo + whc > req_hi)
     assert bool(cover[~empty].all()), "strip plan failed to cover all taps"
 
-    c0 = np.clip(np.floor(mx_min) - 1, 0, src_wp - WIN_W).astype(np.int32)
+    # exact window start, clipped per mode: a kw-lane window must start
+    # by src_wp-kw (right-edge chunks would spuriously fail narrow-window
+    # fits under the 128 clip)
+    c0u = np.clip(np.floor(mx_min) - 1, 0, None).astype(np.int32)
+    c0 = np.minimum(c0u, src_wp - WIN_W)
     # x-slab mode. The production default is SLAB_ROT (dynamic lane-rotate
     # to a 128-lane window; 9.8 -> 9.1 ms/frame on the rig). Negative
     # results, measured on v5e and recorded so they aren't retried (the
@@ -408,14 +434,26 @@ def plan_strips_from_stats(stats: ChunkStats, band_shape, src_h: int,
     # are exempt — without the exemption, right-edge chunks (where c0's
     # src_wp-128 clip binds) would spuriously force the wide slab.
     x1_in = np.minimum(np.floor(mx_max) + 1, src_wp - 1)
-    fits_rot = bool(np.all(empty | (x1_in - c0 <= 127)))
-    slab_w = SLAB_ROT if fits_rot else SLAB_W
+
+    def _fits_kw(kw: int) -> bool:
+        c0_k = np.minimum(c0u, src_wp - kw)
+        return bool(np.all(empty | (x1_in - c0_k <= kw - 1)))
+
+    # production pick: kw=128 rot when it fits, else the wide slab.
+    # Narrower kw measured slower on v5e (see module note at ROT_KWS);
+    # they stay reachable via VST_SLAB_W for A/Bs.
+    slab_w = SLAB_ROT if _fits_kw(128) else SLAB_W
     slab_w = max(slab_w, min_slab_w)
     if env_slab:
         e = int(env_slab)
-        if (e == SLAB_W or (e == SLAB_ROT and fits_rot)
-                or (e == 128 and fits32)):
+        if (e == SLAB_W or (e == 128 and fits32)
+                or (128 < e < SLAB_W and _fits_kw(_rot_kw(e)))):
             slab_w = e
+    if 128 < slab_w < SLAB_W:
+        # pack the exact kw-clipped window start (wider modes decode the
+        # same packing into a superset window, so a narrow plan stays
+        # valid if run at a wider slab_w)
+        c0 = np.minimum(c0u, src_wp - _rot_kw(slab_w))
     if slab_w == 128:
         assert (chunk_row // ROW_ALIGN).max() <= 0xFF \
             and (c32 // 32).max() <= 0x3FF, \
@@ -586,10 +624,11 @@ def _kernel(strip_off, chunk_packed, groups, gains, src_hbm, map_ref,
 
         s0 = pl.multiple_of(strip_off[cam_m, rb], 8)
 
-    # weight K extent / slab read lanes (SLAB_ROT reads the full 256-lane
-    # slab but rotates+slices it to a 128-lane window, see module docs)
-    kw = 128 if slab_w in (128, SLAB_ROT) else slab_w
-    rw = SLAB_W if slab_w == SLAB_ROT else slab_w
+    # weight K extent / slab read lanes (the rot modes read the full
+    # 256-lane slab but rotate+slice it to a kw-lane window)
+    rot = 128 < slab_w < SLAB_W
+    kw = _rot_kw(slab_w) if rot else (128 if slab_w == 128 else slab_w)
+    rw = SLAB_W if rot else slab_w
     # loop-invariant constants (hoisted by Mosaic):
     # tap-index iotas along sublanes, in the weights' MXU-RHS layout
     kx = jax.lax.broadcasted_iota(jnp.int32, (kw, PX), 0)
@@ -634,7 +673,7 @@ def _kernel(strip_off, chunk_packed, groups, gains, src_hbm, map_ref,
         ly = map_ref[0, 0, 1, pl.ds(k * PX, PX)][None, :]
         lx = lx - c_off.astype(jnp.float32)
         ly = ly - (s0 + r0).astype(jnp.float32)
-        if slab_w == SLAB_ROT:
+        if rot:
             dc = (v >> 16) & 0x1FF             # window start inside the slab
             lx = lx - dc.astype(jnp.float32)
 
@@ -656,16 +695,16 @@ def _kernel(strip_off, chunk_packed, groups, gains, src_hbm, map_ref,
         slab = jnp.concatenate(
             [strip[slot, c, pl.ds(r0, whc), pl.ds(c_off, rw)]
              for c in range(channels)], axis=0)        # [C*whc, rw]
-        if slab_w == SLAB_ROT:
-            # bring lanes [dc, dc+128) to [0, 128): all in-source taps live
-            # there (plan guarantees rightmost in-source tap <= c0+127);
+        if rot:
+            # bring lanes [dc, dc+kw) to [0, kw): all in-source taps live
+            # there (plan guarantees rightmost in-source tap <= c0+kw-1);
             # lanes that wrap around from the slab head carry weight 0 by
             # the same bound. Mosaic's dynamic rotate is 32-bit-only, so
             # rotate the slab as int32 (bitcast packs SUBLANE pairs; lanes
             # are untouched, so the per-lane rotate + roundtrip is exact).
             s32 = pltpu.bitcast(slab, jnp.int32)
             s32 = pltpu.roll(s32, shift=(SLAB_W - dc) % SLAB_W, axis=1)
-            slab = pltpu.bitcast(s32, jnp.bfloat16)[:, :WIN_W]
+            slab = pltpu.bitcast(s32, jnp.bfloat16)[:, :kw]
 
         # x-stage: slab LHS contracts its lane (x) axis — natural MXU
         # orientation, no operand transposes
