@@ -16,12 +16,20 @@ from video_stitcher_tpu.ops.pyramid import (
 from video_stitcher_tpu.blend.multiband import place_bands, blend_bands
 
 
+def _sync(x):
+    # the axon backend's block_until_ready does not reliably block (see
+    # bench.py); a tiny device->host read forces completion
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return np.asarray(leaf.ravel()[:4])
+
+
 def timeit(fn, *args, n=10, name=""):
-    out = jax.block_until_ready(fn(*args))
+    out = fn(*args)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     print(f"{name:34s} {(time.perf_counter()-t0)/n*1e3:8.2f} ms")
     return out
 
