@@ -16,13 +16,22 @@ from video_stitcher_tpu.pipeline.stitcher import warp_bands, stitch_pano, output
 from video_stitcher_tpu.blend.multiband import blend_bands
 
 
+def _sync(x):
+    # the axon backend's block_until_ready does not reliably block (see
+    # bench.py); a tiny device->host read forces completion
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    if hasattr(leaf, "ravel"):
+        np.asarray(leaf.ravel()[:4])
+    return x
+
+
 def timeit(fn, *args, n=10, name=""):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / n * 1e3
     print(f"{name:28s} {dt:8.2f} ms")
     return out
@@ -42,7 +51,7 @@ def main():
     state = jax.device_put(st.state)
     geom = st.geom
 
-    f_dev = timeit(lambda x: jax.device_put(x).block_until_ready(), frames,
+    f_dev = timeit(lambda x: jax.device_put(x), frames,
                    name="H2D upload 6x1080p u8")
     fj = jnp.asarray(frames)
 
