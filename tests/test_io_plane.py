@@ -244,3 +244,50 @@ def test_frame_queue_blocking_push_backpressure():
     q.close()
     th.join(timeout=2)
     assert done == [True, False]
+
+
+@pytest.mark.parametrize("backend", ["python", "native"])
+def test_tcp_ingest_client_reconnect(backend):
+    """A capture board that dies mid-frame and reconnects keeps its slot
+    (slot = IP last octet - client_addr_start, netlib.c:125-150) and the
+    partial frame from the dead connection is discarded — the new
+    connection's reassembly starts at byte 0 (networking.cpp:15-65)."""
+    if backend == "native":
+        from video_stitcher_tpu.io_plane import native
+        if native.load() is None:
+            pytest.skip("native lib unavailable")
+    port = 16670 + (0 if backend == "python" else 1)
+    # 127.0.0.1 -> slot 0 with client_addr_start=1 (address-based mode)
+    cfg = StitcherConfig(num_images=1, capture_img_width=64,
+                         capture_img_height=48, capture_tcp_port=port,
+                         client_addr_start=1)
+    ing = CaptureIngest(cfg, debug_order=False, backend=backend)
+    ing.start()
+    try:
+        rng = np.random.default_rng(7)
+        frames = [rng.integers(0, 255, (48, 64)).astype(np.uint8)
+                  for _ in range(3)]
+        fb = 48 * 64
+
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        # frame 0 complete + half of an (abandoned) frame, then drop
+        s.sendall(frames[0].tobytes() + b"\xAA" * (fb // 2))
+        time.sleep(0.3)
+        s.close()
+
+        got = ing.pop_frame(0, timeout=5.0)
+        assert got is not None
+        np.testing.assert_array_equal(got, frames[0])
+
+        # reconnect: same peer address -> same slot, fresh reassembly
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        s.sendall(frames[1].tobytes() + frames[2].tobytes())
+        time.sleep(0.2)
+        s.close()
+
+        for k in (1, 2):
+            got = ing.pop_frame(0, timeout=5.0)
+            assert got is not None, f"frame {k} missing after reconnect"
+            np.testing.assert_array_equal(got, frames[k])
+    finally:
+        ing.stop()
