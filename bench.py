@@ -117,8 +117,15 @@ def main():
                                            use_pallas_remap=False))
         st2.calibrate(frames)
         pano_pw = (st2.stitch(frames), st2.state.valid_mask)
+        # quantization-matched 16S twin (the BASELINE >=40 dB fidelity
+        # row): the reference's exact integer blend arithmetic applied to
+        # our warp, vs the integer gold — removes the gold's own ~37.6 dB
+        # quantization self-noise from the comparison
+        pano_i16 = st.stitch_int16(frames, state=st.state_global)
         ref = psnr_vs_reference(st, frames, pano=pano_global,
-                                named_panos={"_prewarp": pano_pw})
+                                named_panos={"_prewarp": pano_pw,
+                                             "_int16": (pano_i16,
+                                                        st.state.valid_mask)})
     except Exception as e:
         ref = {"psnr_vs_reference_db": None, "error": str(e)[:200]}
 
@@ -218,6 +225,7 @@ def main():
         "h2d_upload_ms_devtunnel": round(h2d_ms, 1),
         "psnr_vs_gold_db": round(float(parity), 2),
         "psnr_vs_scene_db": round(float(fidelity), 2),
+        "psnr_vs_reference_int16_db": ref.get("psnr_vs_reference_int16_db"),
         "psnr_vs_reference_db": ref.get("psnr_vs_reference_db"),
         "psnr_vs_reference_f32_db": ref.get("psnr_vs_reference_f32_db"),
         "psnr_vs_reference_prewarp_f32_db":

@@ -39,16 +39,56 @@ def test_psnr_vs_reference_small():
     frames = render_views(cfg, geom, scene)
     st = Stitcher(cfg)
     st.calibrate(frames)
-    out = psnr_vs_reference(st, frames)
+    pano_i16 = st.stitch_int16(frames)
+    out = psnr_vs_reference(st, frames, named_panos={
+        "_int16": (pano_i16, st.state.valid_mask)})
     assert out["compared_px"] > 0.5 * geom.pano_w * geom.pano_h / 2
     # semantics parity: beat the 40 dB north star vs the float twin
     assert out["psnr_vs_reference_f32_db"] >= 40.0, out
-    # integer-chain parity is bounded by the reference's own 16S noise
+    # quantization-matched comparison at this scale: our 16S twin must be
+    # CLOSER to the reference's integer output than the reference's own
+    # float twin is — matched quantization demonstrably recovers the
+    # correlation (the >= 40 dB absolute gate runs at mid scale below,
+    # where there is enough resolution; at 1080p production scale BENCH
+    # measures 42.2 dB)
+    assert out["psnr_vs_reference_int16_db"] >= \
+        out["reference_int_vs_f32_db"], out
+    assert out["psnr_vs_reference_int16_db"] >= 39.0, out
+    # integer-chain parity of the f32 path is bounded by the reference's
+    # own 16S noise
     assert out["reference_int_vs_f32_db"] < 45.0, \
         "reference integer noise vanished — tighten the int bound!"
     assert out["psnr_vs_reference_db"] >= \
         out["reference_int_vs_f32_db"] - 4.0, out
     assert out["psnr_vs_reference_db"] >= 33.0, out
+
+
+def test_psnr_vs_reference_int16_matched_40db():
+    """THE BASELINE.md fidelity gate: >= 40 dB PSNR vs the reference's
+    stitched output, quantization-matched. Our opt-in 16S blend twin
+    (blend_bands_int16 — arithmetic proven bit-exact against cv2's
+    integer MultiBandBlender in test_reference_int16.py) vs the integer
+    gold of the actual reference chain, at 960x540 inputs (the smallest
+    scale with enough resolution for the 40 dB bar; at the production
+    1920x1080 -> 4K geometry BENCH measures 42.2 dB)."""
+    from reference_gold import psnr_vs_reference
+    cfg = StitcherConfig(**{**SMALL, "input_width": 960,
+                            "input_height": 540})
+    geom, _ = plan_geometry(cfg)
+    rng = np.random.default_rng(3)
+    scene = make_scene(geom.layout.pano_w, geom.layout.pano_h, rng)
+    frames = render_views(cfg, geom, scene)
+    st = Stitcher(cfg)
+    st.calibrate(frames)
+    pano_i16 = st.stitch_int16(frames)
+    out = psnr_vs_reference(st, frames, named_panos={
+        "_int16": (pano_i16, st.state.valid_mask)})
+    assert out["psnr_vs_reference_int16_db"] >= 40.0, out
+    # the twin's own quantization noise must MATCH the reference's
+    # (within ~1.5 dB): proof we reproduced the 16S arithmetic rather
+    # than just getting lucky on this scene
+    assert abs(out["psnr_vs_reference_int16_f32_db"]
+               - out["reference_int_vs_f32_db"]) < 1.5, out
 
 
 def test_psnr_vs_reference_prewarp_resize_chain():

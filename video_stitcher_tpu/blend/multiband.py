@@ -142,6 +142,52 @@ def blend_bands(bands, weight_pyr: Sequence, layout: BandLayout, valid=None,
     return out
 
 
+def blend_bands_int16(bands, weights0, layout: BandLayout, valid=None):
+    """Quantization-matched 16S twin of the reference's integer blend.
+
+    Opt-in parity mode (Stitcher.stitch_int16) reproducing the CPU/CUDA
+    reference arithmetic exactly — blenders.cpp:651-662 feed (dst16 +=
+    static_cast<short>(lap16 * w32), truncation toward zero),
+    blenders.cpp:908-912 normalize (static_cast<short>(acc / (w + eps))),
+    16S pyramids bit-exact to cv::pyrDown/pyrUp (ops/pyramid_int.py),
+    saturating 16S collapse (restoreImageFromLaplacePyr) — so its output
+    can be compared to the reference's own 16S panorama without the
+    reference's integer self-noise (~37.6 dB, BENCH reference_int_vs_f32_db)
+    polluting the comparison. Not a production path: the live blend stays
+    f32 (inside the reference's own ±3/255 bound).
+
+    bands:    f32 [N, C, bandH, bandW] warped + gain-compensated
+    weights0: f32 [N, bandH, bandW] raw (UN-normalized) seam weights, as
+              calibration feeds init_gpu (aux["weights0"])
+    Returns pano f32 [C, pano_h, pano_w] holding exact integers 0..255.
+    """
+    from video_stitcher_tpu.ops.pyramid_int import (
+        laplacian_pyramid_i16, pyr_up_i16)
+    nb = layout.num_bands
+    # the reference hands the blender u8 images (remap output -> gain
+    # convertTo u8 -> feed converts to 16S)
+    img16 = jnp.clip(jnp.rint(bands), 0, 255).astype(jnp.int32)
+    lap = laplacian_pyramid_i16(img16, nb)
+    wpyr = gaussian_pyramid(weights0[:, None].astype(jnp.float32), nb,
+                            "highest")
+    norm = []
+    for lvl in range(nb + 1):
+        t = jnp.trunc(lap[lvl].astype(jnp.float32) * wpyr[lvl]
+                      ).astype(jnp.int32)
+        acc = place_bands(t, layout, lvl)
+        wsum = place_bands(wpyr[lvl], layout, lvl)
+        q = jnp.trunc(acc.astype(jnp.float32) / (wsum + WEIGHT_EPS))
+        norm.append(jnp.clip(q, -32768, 32767).astype(jnp.int32))
+    out = norm[-1]
+    for lvl in range(nb - 1, -1, -1):
+        up = pyr_up_i16(out, norm[lvl].shape[-2], norm[lvl].shape[-1])
+        out = jnp.clip(norm[lvl] + up, -32768, 32767)   # saturating cv::add
+    pano = jnp.clip(out, 0, 255).astype(jnp.float32)
+    if valid is not None:
+        pano = pano * valid[None]
+    return pano
+
+
 def blend_feather(bands, weights0_norm, layout: BandLayout, valid=None):
     """Single-level feather blend (FeatherBlender equivalent):
     pano = sum_c w_c * I_c with pre-normalized distance-ramp weights."""

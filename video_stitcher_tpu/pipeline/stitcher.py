@@ -140,6 +140,18 @@ def stitch_pano(frames_u8, state: CalibState, geom: StitchGeometry,
     return blend_pack(bands, state, geom)
 
 
+def stitch_pano_int16(frames_u8, state: CalibState, geom: StitchGeometry,
+                      weights0, warp_static=None):
+    """Quantization-matched 16S parity stitch (see blend_bands_int16):
+    the production warp followed by the reference's exact integer blend
+    arithmetic. weights0 = raw un-normalized seam weights
+    (calibration aux["weights0"]). Proof path, not production."""
+    from video_stitcher_tpu.blend.multiband import blend_bands_int16
+    bands = warp_bands(frames_u8, state, geom, warp_static)
+    return _pack_u8_hwc(blend_bands_int16(bands, weights0, geom.layout,
+                                          state.valid_mask))
+
+
 def output_frame(pano_u8, out_h: int, out_w: int):
     """Consumer-side resize to the configured output (timed.cpp:281)."""
     x = jnp.moveaxis(pano_u8, -1, 0).astype(jnp.float32)
@@ -417,6 +429,27 @@ class Stitcher:
             fn = cache[2]
         panos = fn(jnp.asarray(frames), state)
         return panos if device else np.asarray(panos)
+
+    def stitch_int16(self, frames: np.ndarray, state: Optional[CalibState]
+                     = None, device: bool = False):
+        """Opt-in 16S-faithful stitch: production warp + the reference's
+        exact integer blend arithmetic (blend_bands_int16) for
+        quantization-matched parity against the reference's own 16S
+        output. state defaults to the live state; pass state_global to
+        compare against the mesh-free gold chain. Uses the XLA gather
+        warp (warp_static=None) so any CalibState's fused maps work
+        regardless of the current strip-plan statics."""
+        cache = getattr(self, "_step_int16", None)
+        if cache is None:
+            w0 = jnp.asarray(self.aux["weights0"])
+            cache = jax.jit(functools.partial(
+                stitch_pano_int16, geom=self.geom, weights0=w0,
+                warp_static=None))
+            self._step_int16 = cache
+        with self._swap_lock:
+            s = self.state if state is None else state
+        pano = cache(jnp.asarray(frames), s)
+        return pano if device else np.asarray(pano)
 
     def _out_size(self):
         """Output frame size under the aspect policy (timed.cpp:254-292)."""
