@@ -175,3 +175,180 @@ def test_hevc_encoder_stream_structure():
     # VPS (nal type 32) must open an HEVC stream
     sc = 4 if out.startswith(b"\x00\x00\x00\x01") else 3
     assert (out[sc] >> 1) & 0x3F == 32, "stream does not start with VPS"
+
+
+# -------------------------------------------- hevc pipeline, codec-free
+#
+# This image ships NO HEVC encoder (no kvazaar, no ffmpeg binary, and
+# cv2's bundled avcodec has only device-backed v4l2 wrappers) — so the
+# real-codec roundtrip below (test_hevc_real_roundtrip_psnr) is gated and
+# SKIPS here; see README "HEVC egress" for the statement of what is and
+# is not proven in this environment. What CAN be proven codec-free is
+# everything the product owns: the subprocess plumbing, the stdout
+# reader thread, Annex-B unit framing, per-frame data integrity through
+# the whole encoder->framer->socket path, and the clean VPS-led restart
+# after a mid-stream reconnect. The fake kvazaar below is protocol-
+# faithful Annex-B (parameter sets on open, one frame NAL + AUD per
+# input frame, payload = frame index + CRC of the exact I420 bytes).
+
+_FAKE_KVAZAAR = r'''#!/usr/bin/env -S python3 -S
+# -S skips site imports: this environment's sitecustomize imports jax at
+# interpreter start (seconds), which would stall the "encoder" spawn
+import sys, zlib
+args = sys.argv[1:]
+res = args[args.index("--input-res") + 1]
+w, h = map(int, res.split("x"))
+fb = w * h * 3 // 2
+out = sys.stdout.buffer
+# parameter sets: VPS (32), SPS (33), PPS (34)
+out.write(b"\x00\x00\x00\x01" + bytes([32 << 1, 1]) + b"\x11\x22\x33")
+out.write(b"\x00\x00\x01" + bytes([33 << 1, 1]) + b"\x44\x55")
+out.write(b"\x00\x00\x01" + bytes([34 << 1, 1]) + b"\x66")
+out.flush()
+idx = 0
+while True:
+    data = sys.stdin.buffer.read(fb)
+    if len(data) < fb:
+        break
+    crc = zlib.crc32(data)
+    payload = ("%04d%08x" % (idx, crc)).encode()      # ascii: no 00 bytes
+    out.write(b"\x00\x00\x01" + bytes([1 << 1, 1]) + payload)
+    out.write(b"\x00\x00\x01" + bytes([35 << 1, 1]) + b"\x50")  # AUD
+    out.flush()
+    idx += 1
+'''
+
+
+def _install_fake_kvazaar(tmp_path, monkeypatch):
+    import os
+    import shutil as _sh
+    exe = tmp_path / "kvazaar"
+    exe.write_text(_FAKE_KVAZAAR)
+    os.chmod(exe, 0o755)
+    real_which = _sh.which
+    monkeypatch.setattr(
+        _sh, "which",
+        lambda name: str(exe) if name == "kvazaar" else real_which(name))
+    return exe
+
+
+def _parse_session_nals(session_bytes):
+    """height prelude + Annex-B stream -> (height, [nal units])."""
+    h = struct.unpack("<i", bytes(session_bytes[:4]))[0]
+    fr = AnnexBFramer()
+    units = fr.push(bytes(session_bytes[4:]))
+    tail = fr.flush()
+    if tail:
+        units.append(tail)
+    return h, units
+
+
+def _nal_type(unit):
+    sc = 4 if unit.startswith(b"\x00\x00\x00\x01") else 3
+    return (unit[sc] >> 1) & 0x3F
+
+
+def test_hevc_pipeline_integrity_and_reconnect(tmp_path, monkeypatch):
+    """Full hevc-mode egress path with the protocol-faithful fake encoder:
+    per-frame CRCs survive encoder->reader-thread->framer->TCP, the
+    stream opens VPS/SPS/PPS, and a mid-stream reconnect restarts with
+    fresh parameter sets (timed.cpp:331-348's encoder-reopen semantics).
+    """
+    import time
+    import zlib
+
+    from video_stitcher_tpu.ops.color import rgb_to_i420
+
+    _install_fake_kvazaar(tmp_path, monkeypatch)
+    player = _FakePlayer()
+    cfg = StitcherConfig(num_images=2, player_address="127.0.0.1",
+                         player_tcp_port=player.port)
+    eg = PlayerEgress(cfg, encoder="hevc")
+    rng = np.random.default_rng(1)
+    h, w = 32, 64
+    frames = [(rng.random((h, w, 3)) * 255).astype(np.uint8)
+              for _ in range(6)]
+    crcs = [zlib.crc32(np.asarray(rgb_to_i420(f)).tobytes())
+            for f in frames]
+    try:
+        for f in frames[:3]:
+            eg.send_frame(f)
+        # the encoder's output is pipelined: units reach the socket on the
+        # NEXT send_frame (exactly like the real encoder's lookahead), so
+        # keep feeding frame 2 until session 1 carries 3 frame NALs
+        for _ in range(100):
+            if player.sessions:
+                _, units = _parse_session_nals(player.sessions[0])
+                if sum(1 for u in units if _nal_type(u) == 1) >= 3:
+                    break
+            eg.send_frame(frames[2])
+            time.sleep(0.05)
+        hh, units = _parse_session_nals(player.sessions[0])
+        assert hh == h
+        assert [_nal_type(u) for u in units[:3]] == [32, 33, 34], \
+            "stream must open with VPS/SPS/PPS"
+        frame_nals = [u for u in units if _nal_type(u) == 1]
+        assert len(frame_nals) >= 3
+        for k, u in enumerate(frame_nals[:3]):
+            sc = 4 if u.startswith(b"\x00\x00\x00\x01") else 3
+            payload = u[sc + 2:].decode()
+            assert int(payload[:4]) == k, "frame order corrupted"
+            assert int(payload[4:], 16) == crcs[k], \
+                f"frame {k} bytes corrupted through the pipeline"
+
+        # mid-stream reconnect: player kills the link; the egress must
+        # reopen the ENCODER too so the new session is a decodable stream
+        player._kill_after = 0
+        for i in range(40):
+            eg.send_frame(frames[3 + (i % 3)])
+            if len(player.sessions) >= 2:
+                _, units2 = _parse_session_nals(player.sessions[-1])
+                if sum(1 for u in units2 if _nal_type(u) == 1) >= 1:
+                    break
+            time.sleep(0.05)
+        assert len(player.sessions) >= 2, "egress never reconnected"
+        hh2, units2 = _parse_session_nals(player.sessions[-1])
+        assert hh2 == h
+        assert [_nal_type(u) for u in units2[:3]] == [32, 33, 34], \
+            "reconnected stream must restart with fresh VPS/SPS/PPS"
+        # the restarted encoder numbers frames from 0 again
+        f0 = [u for u in units2 if _nal_type(u) == 1][0]
+        sc = 4 if f0.startswith(b"\x00\x00\x00\x01") else 3
+        assert int(f0[sc + 2:sc + 6]) == 0
+    finally:
+        eg.close()
+        player.stop()
+
+
+@pytest.mark.skipif(shutil.which("kvazaar") is None
+                    and shutil.which("ffmpeg") is None,
+                    reason="no real HEVC encoder in this env (documented "
+                           "in README); fake-encoder pipeline test above "
+                           "covers everything but the codec")
+def test_hevc_real_roundtrip_psnr(tmp_path):
+    """With a real encoder present: encode via the egress path, decode
+    back with cv2 (avcodec hevc decoder), PSNR >= 30 dB."""
+    import cv2
+
+    from video_stitcher_tpu.io_plane.egress import HevcEncoder
+    from video_stitcher_tpu.ops.color import rgb_to_i420
+
+    h, w = 64, 96
+    rng = np.random.default_rng(2)
+    base = (rng.random((h, w, 3)) * 127).astype(np.uint8)
+    frames = [np.roll(base, 2 * i, axis=1) for i in range(8)]
+    enc = HevcEncoder(w, h)
+    out = b""
+    for f in frames:
+        out += enc.encode(np.asarray(rgb_to_i420(f)).tobytes())
+    out += enc.finish()
+    path = tmp_path / "stream.h265"
+    path.write_bytes(out)
+    cap = cv2.VideoCapture(str(path))
+    ok, dec = cap.read()
+    assert ok, "cv2 could not decode the emitted stream"
+    dec = dec[..., ::-1]
+    err = np.mean((dec.astype(np.float64) - frames[0]) ** 2)
+    psnr = 10 * np.log10(255.0 ** 2 / max(err, 1e-9))
+    assert psnr >= 30, f"roundtrip PSNR {psnr:.1f} dB"
+    cap.release()

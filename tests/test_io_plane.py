@@ -291,3 +291,64 @@ def test_tcp_ingest_client_reconnect(backend):
             np.testing.assert_array_equal(got, frames[k])
     finally:
         ing.stop()
+
+
+@pytest.mark.parametrize("backend", ["python", "native"])
+def test_framed_ingest_resync_after_byte_loss(backend):
+    """Framed capture protocol (cfg.capture_framing): inject garbage bytes
+    and truncate a frame mid-stream; the ingest must resynchronize on the
+    next magic within ~1 frame and account for the loss — the reference's
+    raw protocol (networking.cpp:15-65) shears every subsequent frame."""
+    if backend == "native":
+        from video_stitcher_tpu.io_plane import native
+        if native.load() is None:
+            pytest.skip("native lib unavailable")
+    from video_stitcher_tpu.io_plane.ingest import pack_frame
+    port = 16690 + (0 if backend == "python" else 1)
+    cfg = StitcherConfig(num_images=1, capture_img_width=64,
+                         capture_img_height=48, capture_tcp_port=port,
+                         capture_framing=True)
+    fb = 64 * 48
+    ing = CaptureIngest(cfg, debug_order=True, backend=backend,
+                        max_queue=16)
+    ing.start()
+    try:
+        rng = np.random.default_rng(7)
+        frames = [rng.integers(0, 255, (48, 64)).astype(np.uint8)
+                  for _ in range(6)]
+        wire = pack_frame(frames[0].tobytes(), 0)
+        wire += pack_frame(frames[1].tobytes(), 1)
+        wire += b"\x99" * 777                          # injected garbage
+        # frame 2 truncated by 100 bytes: its payload swallows the head of
+        # frame 3, shearing both (cost bounded at the overlapped frames)
+        wire += pack_frame(frames[2].tobytes(), 2)[:12 + fb - 100]
+        wire += pack_frame(frames[3].tobytes(), 5)     # seqs 3,4 lost upstream
+        wire += pack_frame(frames[4].tobytes(), 6)
+        wire += pack_frame(frames[5].tobytes(), 7)
+
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        for i in range(0, len(wire), 1024):            # dribble in chunks
+            s.sendall(wire[i:i + 1024])
+        time.sleep(0.3)
+        s.close()
+
+        got = []
+        for _ in range(5):
+            f = ing.pop_frame(0, timeout=5.0)
+            assert f is not None
+            got.append(f)
+        np.testing.assert_array_equal(got[0], frames[0])
+        np.testing.assert_array_equal(got[1], frames[1])
+        # got[2] is the corrupted frame-2 composite (undetectable without a
+        # checksum); frames 4 and 5 must arrive INTACT — recovery proof
+        np.testing.assert_array_equal(got[3], frames[4])
+        np.testing.assert_array_equal(got[4], frames[5])
+        st = ing.stats()[0]
+        assert st["frames_ok"] == 5
+        assert st["resyncs"] == 2, st            # garbage run + truncation
+        assert st["bytes_skipped"] >= 777, st
+        # seq 2 arrived (corrupt), then seq jumped 3 -> 6: 3 missing
+        assert st["seq_gaps"] == 3, st
+        assert "cam0" in ing.stats_summary()
+    finally:
+        ing.stop()

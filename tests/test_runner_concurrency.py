@@ -70,3 +70,171 @@ def test_runner_recalib_swap_concurrency(tmp_path, monkeypatch):
     dumped = os.listdir(tmp_path / "viz")
     assert any(f.startswith("matches_") for f in dumped), dumped
     assert any(f.startswith("mesh_") for f in dumped), dumped
+
+
+def test_shutdown_during_midflight_recalib_solve(tmp_path, monkeypatch):
+    """stop() while a recalibration solve is in flight: the runner must
+    join cleanly (no exception surfacing, no hung thread) even though the
+    solve completes after the stop was requested."""
+    import threading
+    import time
+
+    monkeypatch.chdir(tmp_path)
+    # same shapes as the swap test above: every program hits the
+    # persistent compile cache (this box has ONE core; fresh shapes cost
+    # minutes of XLA compiles per scenario)
+    cfg = StitcherConfig(num_images=6, input_width=320, input_height=180,
+                         recalibrate=True, enable_local=True,
+                         recalib_del_ms=50)
+
+    solving = threading.Event()
+    orig_recal = Stitcher.recalibrate_mesh
+    calls = []
+
+    def slow_recal(self, frames):
+        # the initial in-calibrate solve runs before the runner loop;
+        # only the recalib THREAD's solves should dawdle
+        if calls:
+            solving.set()
+            time.sleep(0.8)
+        calls.append(1)
+        return orig_recal(self, frames)
+
+    monkeypatch.setattr(Stitcher, "recalibrate_mesh", slow_recal)
+
+    r = Runner(cfg, max_frames=10_000)
+    box = {}
+
+    def drive():
+        r.run()
+        box["done"] = True
+
+    t = threading.Thread(target=drive)
+    t.start()
+    assert solving.wait(timeout=180), "recalib thread never started a solve"
+    r._stop.set()                      # stop request lands mid-solve
+    t.join(timeout=60)
+    assert box.get("done"), "runner did not shut down cleanly"
+    assert r.frames_done >= 1
+
+
+def test_source_eof_during_interp_animation(tmp_path, monkeypatch):
+    """The source hits EOF while a RECALIB_INTERP animation is publishing
+    intermediate states: the animation must be interrupted by shutdown and
+    the runner must exit cleanly."""
+    import threading
+    import time
+
+    monkeypatch.chdir(tmp_path)
+    cfg = StitcherConfig(num_images=6, input_width=320, input_height=180,
+                         recalibrate=True, enable_local=True,
+                         recalib_interp=True, recalib_del_ms=50)
+
+    eof = threading.Event()
+    interp_started = threading.Event()
+    orig_swap = Stitcher.swap_state
+
+    def eof_on_swap(self, state):
+        interp_started.set()
+        eof.set()                       # source dries up mid-animation
+        time.sleep(0.05)                # let EOF reach the main loop
+        return orig_swap(self, state)
+
+    monkeypatch.setattr(Stitcher, "swap_state", eof_on_swap)
+
+    from video_stitcher_tpu.io_plane.video import SyntheticRigSource
+    from video_stitcher_tpu.calib.calibration import plan_geometry
+    geom, _ = plan_geometry(cfg)
+    inner = SyntheticRigSource(cfg, geom)
+
+    class EofSource:
+        def get_frames(self):
+            if eof.is_set():
+                return None
+            return inner.get_frames()
+
+        def release(self):
+            inner.release()
+
+    r = Runner(cfg, source=EofSource(), max_frames=10_000)
+    box = {}
+
+    def drive():
+        r.run()
+        box["done"] = True
+
+    t = threading.Thread(target=drive)
+    t.start()
+    t.join(timeout=240)
+    assert box.get("done"), "runner hung after EOF during interp animation"
+    assert interp_started.is_set()
+    assert r.frames_done >= 1
+
+
+def test_egress_reconnect_racing_close():
+    """A flaky player kills every connection after a few bytes, driving
+    send_frame into its reconnect path, while close() lands from another
+    thread: the sender must terminate promptly (RuntimeError from the
+    closed egress) instead of reconnecting forever or deadlocking."""
+    import socket
+    import struct
+    import threading
+    import time
+
+    import numpy as np
+    from video_stitcher_tpu.io_plane.egress import PlayerEgress
+
+    port = 15597
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", port))
+    server.listen(4)
+    stop_srv = threading.Event()
+
+    def flaky_player():
+        while not stop_srv.is_set():
+            try:
+                server.settimeout(0.5)
+                conn, _ = server.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            try:
+                conn.recv(64)           # height prelude + a few bytes
+            except OSError:
+                pass
+            conn.close()                # kill it -> egress reconnects
+
+    srv_t = threading.Thread(target=flaky_player)
+    srv_t.start()
+
+    cfg = StitcherConfig(player_address="127.0.0.1", player_tcp_port=port,
+                         send_results=True)
+    eg = PlayerEgress(cfg, encoder="mjpeg")
+    frame = np.zeros((64, 96, 3), np.uint8)
+    outcome = {}
+
+    def sender():
+        sent = 0
+        try:
+            while sent < 10_000:
+                try:
+                    eg.send_frame(frame)
+                    sent += 1
+                except OSError:
+                    time.sleep(0.01)    # transient: retry like the consumer
+        except RuntimeError as e:
+            outcome["stopped"] = str(e)
+        outcome["sent"] = sent
+
+    snd_t = threading.Thread(target=sender)
+    snd_t.start()
+    time.sleep(0.5)                     # let reconnect churn happen
+    eg.close()                          # race the reconnect loop
+    snd_t.join(timeout=15)
+    stop_srv.set()
+    server.close()
+    srv_t.join(timeout=5)
+    assert not snd_t.is_alive(), "sender hung after egress close"
+    assert outcome.get("stopped") == "egress closed", outcome

@@ -194,6 +194,33 @@ def main(argv=None):
     # reference's own CUDA-vs-CPU bound (test_blenders.cuda.cpp:95)
     assert diff <= 3, f"sharded strip warp mismatch on-device: {diff}"
 
+    # --- ICI communication accounting (camera-sharded multichip; see
+    # PARALLEL.md for the model). The only collective in the sharded step
+    # is one psum per pyramid level of a [3, ph, pw] tensor (bf16 when
+    # blend_precision == "bf16"). A psum lowers to reduce-scatter +
+    # all-gather: each chip moves 2*(N-1)/N * bytes over ICI. ---
+    el_ici = 2 if geom.blend_precision == "bf16" else 4
+    per_level = [3 * (lay.pano_h >> l) * (lay.pano_w >> l) * el_ici
+                 for l in range(geom.num_bands + 1)]
+    psum_mb = sum(per_level) / 1e6
+    ICI_GBPS = 100.0          # v5e per-chip ICI (~1.6 Tbps bidir aggregate)
+    step_ms = ms              # full_step single-chip from above
+    proj = {}
+    for nd in (2, 4, 8):
+        ici_ms = 2 * (nd - 1) / nd * psum_mb / 1e3 / ICI_GBPS * 1e3
+        # per-chip compute shrinks with the camera shard; the blend
+        # collapse after the psum is replicated (unsharded tail ~20%)
+        compute_ms = step_ms * (0.8 / nd + 0.2)
+        proj[f"x{nd}"] = round(compute_ms + ici_ms, 2)
+    print(json.dumps({
+        "op": "ici_accounting",
+        "psum_mb_per_step": round(psum_mb, 1),
+        "psum_mb_per_level": [round(b / 1e6, 2) for b in per_level],
+        "ici_gbps_assumed": ICI_GBPS,
+        "projected_step_ms": proj,
+        "model": "PARALLEL.md",
+    }))
+
 
 if __name__ == "__main__":
     main()

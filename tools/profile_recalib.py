@@ -94,7 +94,8 @@ def main():
     if pipe._strip is not None:
         bands = mp._warp_bands_strip_jit(
             jnp.asarray(frames), pipe._strip["lane"], pipe._strip["so"],
-            pipe._strip["cp"], geom=geom, warp_static=pipe._strip["static"])
+            pipe._strip["cp"], pipe._strip["gl"], geom=geom,
+            warp_static=pipe._strip["static"])
         _sync(bands)
         t = tick("warp_bands_strip", t)
     else:

@@ -114,6 +114,11 @@ class StitcherConfig:
     player_address: str = "localhost"
     player_tcp_port: int = 55555
     client_addr_start: int = 41
+    #: opt-in framed capture wire protocol (magic+seq+len header per
+    #: frame): lets the ingest resynchronize after byte loss and count
+    #: dropped frames. Off = the reference's raw NV12 stream
+    #: (networking.cpp:15-65), which shears forever on a lost byte.
+    capture_framing: bool = False
 
     # --- file input (defs.h:22-24,44,74) ---
     video_files: Tuple[str, ...] = ()

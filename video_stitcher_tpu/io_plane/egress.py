@@ -104,7 +104,11 @@ class HevcEncoder:
 
     def _drain(self):
         while True:
-            data = self._proc.stdout.read(1 << 16)
+            # read1, NOT read: BufferedReader.read(n) blocks until n bytes
+            # or EOF, so a low-bitrate stream (small NALs) would sit in
+            # the pipe ~forever waiting to fill 64 KB; read1 returns as
+            # soon as any bytes arrive (b"" only at EOF)
+            data = self._proc.stdout.read1(1 << 16)
             if not data:
                 tail = self._framer.flush()
                 with self._mu:
@@ -163,9 +167,14 @@ class PlayerEgress:
         self._listener: Optional[socket.socket] = None
         self._enc = None
         self._sent_height = False
+        #: set by close(); send_frame raises instead of reconnecting so a
+        #: consumer thread can't race a shutdown into a fresh connection
+        self._closed = False
 
     # --- connection management (timed.cpp:156-180) --------------------
     def connect(self) -> None:
+        if self._closed:
+            raise RuntimeError("egress closed")
         self.close_socket()
         if self.server_mode:
             if self._listener is None:
@@ -189,6 +198,7 @@ class PlayerEgress:
             self.sock = None
 
     def close(self) -> None:
+        self._closed = True
         self.close_socket()
         if self._listener is not None:
             self._listener.close()
@@ -218,29 +228,45 @@ class PlayerEgress:
         from video_stitcher_tpu.ops.color import rgb_to_i420
         return self._enc.encode(np.asarray(rgb_to_i420(frame_rgb)).tobytes())
 
+    def _sock_or_closed(self) -> socket.socket:
+        """Local snapshot of the socket: close() from another thread sets
+        self.sock = None at any moment, so callers must never touch the
+        attribute twice (a consumer thread racing shutdown saw
+        NoneType.sendall before this existed)."""
+        sock = self.sock
+        if sock is None:
+            raise RuntimeError("egress closed")
+        return sock
+
     def send_frame(self, frame_rgb: np.ndarray) -> None:
         """Send one frame; on failure reconnect + reopen the encoder
-        (timed.cpp:331-348)."""
+        (timed.cpp:331-348). Raises RuntimeError after/during close()."""
+        if self._closed:
+            raise RuntimeError("egress closed")
         if self.sock is None:
             self.connect()
+        sock = self._sock_or_closed()
         if not self._sent_height and self.cfg.send_height_info:
             # height prelude (timed.cpp:296-305)
-            self.sock.sendall(struct.pack("<i", frame_rgb.shape[0]))
+            sock.sendall(struct.pack("<i", frame_rgb.shape[0]))
             self._sent_height = True
         payload = self._encode(frame_rgb)
         try:
             if payload:
-                self.sock.sendall(payload)
+                sock.sendall(payload)
         except OSError:
+            if self._closed:
+                raise RuntimeError("egress closed") from None
             # reconnect + reopen encoder so the new connection starts a
             # clean bitstream (VPS/SPS/PPS + IDR), timed.cpp:331-348
             if self._enc is not None:
                 self._enc.close()
                 self._enc = None
             self.connect()
+            sock = self._sock_or_closed()
             if self.cfg.send_height_info:
-                self.sock.sendall(struct.pack("<i", frame_rgb.shape[0]))
+                sock.sendall(struct.pack("<i", frame_rgb.shape[0]))
                 self._sent_height = True
             payload = self._encode(frame_rgb)
             if payload:
-                self.sock.sendall(payload)
+                sock.sendall(payload)

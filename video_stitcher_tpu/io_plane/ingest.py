@@ -26,6 +26,23 @@ from video_stitcher_tpu.config import StitcherConfig
 from video_stitcher_tpu.io_plane.queues import FrameQueue
 from video_stitcher_tpu.io_plane import native as native_mod
 
+#: framed wire protocol (opt-in, cfg.capture_framing): each frame is
+#: preceded by a 12-byte header  magic u32 | seq u32 | payload_len u32
+#: (little-endian). The raw protocol (the reference's,
+#: networking.cpp:15-65) cannot resynchronize — one lost byte shears
+#: every subsequent frame of that camera forever; the magic scan below
+#: recovers within one frame and counts what was lost.
+FRAME_MAGIC = 0x53465231          # "1RFS" on the wire (LE)
+_MAGIC_BYTES = struct.pack("<I", FRAME_MAGIC)
+HEADER_FMT = "<III"
+HEADER_BYTES = struct.calcsize(HEADER_FMT)
+
+
+def pack_frame(payload: bytes, seq: int) -> bytes:
+    """Sender-side framing helper (capture boards / tests)."""
+    return struct.pack(HEADER_FMT, FRAME_MAGIC, seq & 0xFFFFFFFF,
+                       len(payload)) + payload
+
 
 class CaptureIngest:
     """start() then get_frames() -> u8 [N, H*3/2, W] NV12 stacks."""
@@ -39,6 +56,10 @@ class CaptureIngest:
         self.n = cfg.num_images
         self.debug_order = debug_order
         self.max_queue = max_queue
+        self.framing = bool(getattr(cfg, "capture_framing", False))
+        #: per-camera counters: frames_ok, resyncs, bytes_skipped, seq_gaps
+        self._stats = [dict(frames_ok=0, resyncs=0, bytes_skipped=0,
+                            seq_gaps=0) for _ in range(self.n)]
         self._native = None
         self._threads: List[threading.Thread] = []
         self._queues = [FrameQueue(max_queue) for _ in range(self.n)]
@@ -59,7 +80,7 @@ class CaptureIngest:
             rc = self._lib.stitchio_start_server(
                 self.cfg.capture_tcp_port, self.n, self.frame_bytes,
                 self.cfg.client_addr_start, 1 if self.debug_order else 0,
-                self.max_queue)
+                self.max_queue, 1 if self.framing else 0)
             if rc != 0:
                 raise RuntimeError(f"stitchio_start_server failed: {rc}")
             self._native = self._lib
@@ -110,10 +131,14 @@ class CaptureIngest:
 
     def _recv_loop(self, conn: socket.socket, slot: int) -> None:
         """Frame reassembly incl. the reference's 3-retry policy
-        (networking.cpp:26-37)."""
+        (networking.cpp:26-37). Framed mode adds magic-scan resync."""
+        if self.framing:
+            self._recv_loop_framed(conn, slot)
+            return
         buf = bytearray(self.frame_bytes)
         index = 0
         errors = 0
+        st = self._stats[slot]
         while self._running:
             try:
                 chunk = conn.recv(65536)
@@ -135,8 +160,94 @@ class CaptureIngest:
                     frame = np.frombuffer(bytes(buf), np.uint8).reshape(
                         self.h_nv12, self.w)
                     self._queues[slot].push(frame)
+                    st["frames_ok"] += 1
                     index = 0
         conn.close()
+
+    def _recv_loop_framed(self, conn: socket.socket, slot: int) -> None:
+        """Framed reassembly: validate header at the stream head; on any
+        mismatch scan forward for the magic, dropping (and counting) the
+        bytes in between — a corrupted/truncated frame costs at most
+        itself, not the rest of the stream."""
+        st = self._stats[slot]
+        pending = bytearray()
+        expect_seq = None
+        errors = 0
+        in_desync = False
+        fb = self.frame_bytes
+        while self._running:
+            try:
+                chunk = conn.recv(65536)
+            except OSError:
+                errors += 1
+                if errors > 3:
+                    break
+                continue
+            if not chunk:
+                break
+            errors = 0
+            pending += chunk
+            while True:
+                if len(pending) < HEADER_BYTES:
+                    break
+                magic, seq, ln = struct.unpack_from(HEADER_FMT, pending, 0)
+                if magic != FRAME_MAGIC or ln != fb:
+                    # desync: scan for the next magic (resync counted once
+                    # per desync event, not per scanned chunk)
+                    i = pending.find(_MAGIC_BYTES, 1)
+                    if not in_desync:
+                        st["resyncs"] += 1
+                        in_desync = True
+                    if i < 0:
+                        # keep a possible partial magic at the tail
+                        keep = min(len(_MAGIC_BYTES) - 1, len(pending))
+                        st["bytes_skipped"] += len(pending) - keep
+                        del pending[:len(pending) - keep]
+                        break
+                    st["bytes_skipped"] += i
+                    del pending[:i]
+                    in_desync = False
+                    continue
+                if len(pending) < HEADER_BYTES + fb:
+                    break
+                in_desync = False
+                payload = bytes(pending[HEADER_BYTES:HEADER_BYTES + fb])
+                del pending[:HEADER_BYTES + fb]
+                if expect_seq is not None and seq != expect_seq:
+                    st["seq_gaps"] += (seq - expect_seq) & 0xFFFFFFFF
+                expect_seq = (seq + 1) & 0xFFFFFFFF
+                self._queues[slot].push(
+                    np.frombuffer(payload, np.uint8).reshape(
+                        self.h_nv12, self.w))
+                st["frames_ok"] += 1
+        conn.close()
+
+    # ------------------------------------------------------------------
+    def stats(self):
+        """Per-camera counters [{frames_ok, resyncs, bytes_skipped,
+        seq_gaps}] (native backend: fetched from the C++ server)."""
+        if self._native is not None:
+            import ctypes
+            out = []
+            for cam in range(self.n):
+                vals = (ctypes.c_long * 4)()
+                if self._native.stitchio_stats(cam, vals) == 0:
+                    out.append(dict(frames_ok=vals[0], resyncs=vals[1],
+                                    bytes_skipped=vals[2], seq_gaps=vals[3]))
+                else:
+                    out.append(dict(self._stats[cam]))
+            return out
+        return [dict(s) for s in self._stats]
+
+    def stats_summary(self) -> str:
+        s = self.stats()
+        drops = sum(x["resyncs"] + x["seq_gaps"] for x in s)
+        if drops == 0:
+            return "ingest ok"
+        return "ingest " + " ".join(
+            f"cam{i}:ok={x['frames_ok']},rs={x['resyncs']},"
+            f"skip={x['bytes_skipped']}B,gap={x['seq_gaps']}"
+            for i, x in enumerate(s) if x["resyncs"] or x["seq_gaps"])
 
     # ------------------------------------------------------------------
     def pop_frame(self, cam: int, timeout: Optional[float] = None

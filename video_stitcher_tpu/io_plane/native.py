@@ -44,8 +44,11 @@ def load() -> Optional[ctypes.CDLL]:
             return None
         lib.stitchio_start_server.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_int,
-            ctypes.c_int, ctypes.c_long]
+            ctypes.c_int, ctypes.c_long, ctypes.c_int]
         lib.stitchio_start_server.restype = ctypes.c_int
+        lib.stitchio_stats.argtypes = [ctypes.c_int,
+                                       ctypes.POINTER(ctypes.c_long)]
+        lib.stitchio_stats.restype = ctypes.c_int
         lib.stitchio_pop_frame.argtypes = [
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
         lib.stitchio_pop_frame.restype = ctypes.c_int

@@ -20,6 +20,7 @@
 #include <sys/socket.h>
 #include <unistd.h>
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -87,12 +88,31 @@ class FrameQueue {
     bool closed_ = false;
 };
 
+// Per-camera ingest health counters (resync/drop accounting; the framed
+// protocol below is what makes resyncs detectable at all).
+struct CamStats {
+    std::atomic<long> frames_ok{0};
+    std::atomic<long> resyncs{0};
+    std::atomic<long> bytes_skipped{0};
+    std::atomic<long> seq_gaps{0};
+};
+
+// Framed wire protocol (opt-in): 12-byte little-endian header per frame,
+//   magic u32 = 0x53465231 | seq u32 | payload_len u32
+// mirrored by io_plane/ingest.py (pack_frame / _recv_loop_framed). The raw
+// protocol (the reference's, networking.cpp:15-65) has no way to recover
+// from a lost byte; with framing a desync costs at most one frame.
+constexpr uint32_t kFrameMagic = 0x53465231;
+constexpr size_t kHeaderBytes = 12;
+
 class CaptureServer {
   public:
     CaptureServer(int port, int num_cams, size_t frame_bytes,
-                  int client_addr_start, bool debug_order, size_t max_queue)
+                  int client_addr_start, bool debug_order, size_t max_queue,
+                  bool framing)
         : port_(port), num_cams_(num_cams), frame_bytes_(frame_bytes),
-          client_addr_start_(client_addr_start), debug_order_(debug_order) {
+          client_addr_start_(client_addr_start), debug_order_(debug_order),
+          framing_(framing), stats_(num_cams) {
         for (int i = 0; i < num_cams; ++i)
             queues_.emplace_back(new FrameQueue(max_queue));
     }
@@ -147,6 +167,15 @@ class CaptureServer {
 
     int clientsConnected() { return clients_.load(); }
 
+    bool getStats(int cam, long out[4]) {
+        if (cam < 0 || cam >= num_cams_) return false;
+        out[0] = stats_[cam].frames_ok.load();
+        out[1] = stats_[cam].resyncs.load();
+        out[2] = stats_[cam].bytes_skipped.load();
+        out[3] = stats_[cam].seq_gaps.load();
+        return true;
+    }
+
   private:
     void acceptLoop() {
         int order = 0;
@@ -183,9 +212,81 @@ class CaptureServer {
         }
     }
 
+    // Framed reassembly with magic-scan resync (see kFrameMagic above).
+    void recvLoopFramed(int fd, int slot) {
+        CamStats& st = stats_[slot];
+        std::vector<uint8_t> pending;
+        pending.reserve(frame_bytes_ + 64 * 1024 + kHeaderBytes);
+        std::vector<uint8_t> buf(64 * 1024);
+        uint32_t expect_seq = 0;
+        bool have_seq = false;
+        bool in_desync = false;
+        int error_count = 0;
+        const uint8_t magic_le[4] = {0x31, 0x52, 0x46, 0x53};  // LE bytes
+        while (running_) {
+            ssize_t n = ::recv(fd, buf.data(), buf.size(), 0);
+            if (n < 0) {
+                if (++error_count > 3) break;
+                continue;
+            }
+            if (n == 0) break;
+            error_count = 0;
+            pending.insert(pending.end(), buf.data(), buf.data() + n);
+            for (;;) {
+                if (pending.size() < kHeaderBytes) break;
+                uint32_t magic, seq, len;
+                std::memcpy(&magic, pending.data(), 4);
+                std::memcpy(&seq, pending.data() + 4, 4);
+                std::memcpy(&len, pending.data() + 8, 4);
+                if (magic != kFrameMagic || len != frame_bytes_) {
+                    if (!in_desync) {
+                        st.resyncs.fetch_add(1);
+                        in_desync = true;
+                    }
+                    // scan forward for the magic
+                    auto it = std::search(pending.begin() + 1, pending.end(),
+                                          magic_le, magic_le + 4);
+                    if (it == pending.end()) {
+                        size_t keep = std::min<size_t>(3, pending.size());
+                        st.bytes_skipped.fetch_add(
+                            static_cast<long>(pending.size() - keep));
+                        pending.erase(pending.begin(),
+                                      pending.end() - keep);
+                        break;
+                    }
+                    st.bytes_skipped.fetch_add(
+                        static_cast<long>(it - pending.begin()));
+                    pending.erase(pending.begin(), it);
+                    in_desync = false;
+                    continue;
+                }
+                if (pending.size() < kHeaderBytes + frame_bytes_) break;
+                in_desync = false;
+                if (have_seq && seq != expect_seq)
+                    st.seq_gaps.fetch_add(
+                        static_cast<long>(seq - expect_seq));
+                expect_seq = seq + 1;
+                have_seq = true;
+                std::vector<uint8_t> frame(
+                    pending.begin() + kHeaderBytes,
+                    pending.begin() + kHeaderBytes + frame_bytes_);
+                pending.erase(pending.begin(),
+                              pending.begin() + kHeaderBytes + frame_bytes_);
+                queues_[slot]->push(std::move(frame));
+                st.frames_ok.fetch_add(1);
+            }
+        }
+        ::close(fd);
+        clients_.fetch_sub(1);
+    }
+
     // Reassemble fixed-size frames from the byte stream
     // (360_stitcher/networking.cpp:15-65, incl. the 3-error retry policy).
     void recvLoop(int fd, int slot) {
+        if (framing_) {
+            recvLoopFramed(fd, slot);
+            return;
+        }
         std::vector<uint8_t> frame(frame_bytes_);
         size_t index = 0;
         int error_count = 0;
@@ -207,6 +308,7 @@ class CaptureServer {
                 off += take;
                 if (index == frame_bytes_) {
                     queues_[slot]->push(std::move(frame));
+                    stats_[slot].frames_ok.fetch_add(1);
                     frame.assign(frame_bytes_, 0);
                     index = 0;
                 }
@@ -221,6 +323,8 @@ class CaptureServer {
     size_t frame_bytes_;
     int client_addr_start_;
     bool debug_order_;
+    bool framing_;
+    std::vector<CamStats> stats_;
     int listen_fd_ = -1;
     std::atomic<bool> running_{false};
     std::atomic<int> clients_{0};
@@ -239,12 +343,13 @@ extern "C" {
 
 int stitchio_start_server(int port, int num_cams, long frame_bytes,
                           int client_addr_start, int debug_order,
-                          long max_queue) {
+                          long max_queue, int framing) {
     if (g_server) return -1;
     g_server.reset(new CaptureServer(port, num_cams,
                                      static_cast<size_t>(frame_bytes),
                                      client_addr_start, debug_order != 0,
-                                     static_cast<size_t>(max_queue)));
+                                     static_cast<size_t>(max_queue),
+                                     framing != 0));
     if (!g_server->start()) {
         g_server.reset();
         return -2;
@@ -263,6 +368,12 @@ int stitchio_queue_size(int cam) {
 
 int stitchio_clients(void) {
     return g_server ? g_server->clientsConnected() : -1;
+}
+
+// out[4] = {frames_ok, resyncs, bytes_skipped, seq_gaps}
+int stitchio_stats(int cam, long* out) {
+    if (!g_server) return -1;
+    return g_server->getStats(cam, out) ? 0 : -2;
 }
 
 void stitchio_stop_server(void) {

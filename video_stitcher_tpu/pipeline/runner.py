@@ -25,7 +25,9 @@ from video_stitcher_tpu.utils import log
 
 class Runner:
     def __init__(self, cfg: StitcherConfig, source=None, sink=None,
-                 egress=None, max_frames: Optional[int] = None):
+                 egress=None, max_frames: Optional[int] = None,
+                 consume_device: bool = False,
+                 collect_latency: bool = False):
         from video_stitcher_tpu.pipeline.stitcher import Stitcher
         self.cfg = cfg
         self.stitcher = Stitcher(cfg)
@@ -33,6 +35,22 @@ class Runner:
         self.sink = sink
         self.egress = egress
         self.max_frames = max_frames
+        #: bench mode: the consumer forces completion with a 4-byte device
+        #: read instead of downloading the full output frame — isolates
+        #: the product's loop overhead (queues, swap lock, staging) from
+        #: the host link, which is measured separately (VERDICT r2 #6).
+        #: Sinks still receive the (device) frame.
+        self.consume_device = consume_device
+        self.collect_latency = collect_latency
+        #: per-frame end-to-end seconds (source handoff -> consumer done),
+        #: filled when collect_latency is set
+        self.latencies: list = []
+        #: consumer completion perf_counter stamps (same indexing as
+        #: latencies) — lets a bench compute sustained fps excluding the
+        #: compile/calibration head of the run
+        self.done_ts: list = []
+        #: perf_counter stamps of successful mesh installs (cadence proof)
+        self.recalib_ts: list = []
         self.results = FrameQueue(max_size=cfg.results_max_size,
                                   drop_oldest=cfg.clear_buffers)
         self._latest_frames: Optional[np.ndarray] = None
@@ -41,6 +59,8 @@ class Runner:
         self.timers = StageTimers(["acquire", "upload", "stitch", "output"])
         self.fps = FpsMeter(period=30)
         self.frames_done = 0
+        self.recalibs_done = 0
+        self._last_recalib_t = 0.0
 
     # --- source -------------------------------------------------------
     def _make_source(self):
@@ -51,6 +71,7 @@ class Runner:
             from video_stitcher_tpu.io_plane.ingest import CaptureIngest
             ingest = CaptureIngest(cfg)
             ingest.start()
+            self._ingest = ingest          # stats surfaced in the fps log
 
             class _NV12Source:
                 """Hands raw NV12 [N, H*3/2, W] straight through — the
@@ -79,9 +100,21 @@ class Runner:
         cfg = self.cfg
         if not (cfg.recalibrate and cfg.enable_local):
             return
+        period = cfg.recalib_del_ms / 1000.0
+        next_deadline = time.perf_counter() + period
         while not self._stop.is_set():
-            if self._stop.wait(cfg.recalib_del_ms / 1000.0):
+            # deadline-based cadence: the reference re-solves every
+            # RECALIB_DEL ms wall time (defs.h:48); waiting the full period
+            # AFTER each solve would stretch the effective period to
+            # period + solve_time, so deduct the solve time from the wait
+            wait = next_deadline - time.perf_counter()
+            if wait > 0 and self._stop.wait(wait):
                 break
+            start = time.perf_counter()
+            # if a solve overran whole periods, skip the missed slots
+            # rather than solving back-to-back to "catch up"
+            next_deadline += period * max(
+                1, int((start - next_deadline) / period) + 1)
             with self._latest_lock:
                 frames = self._latest_frames
             if frames is None:
@@ -90,7 +123,13 @@ class Runner:
             try:
                 old_state = self.stitcher.state
                 if self.stitcher.recalibrate_mesh(frames):
-                    log.info("Rewarp: %.0f ms", (time.perf_counter() - t0) * 1e3)
+                    self.recalibs_done += 1
+                    self.recalib_ts.append(time.perf_counter())
+                    log.info("Rewarp: %.0f ms (period %.0f ms)",
+                             (time.perf_counter() - t0) * 1e3,
+                             (t0 - self._last_recalib_t) * 1e3
+                             if self._last_recalib_t else 0.0)
+                    self._last_recalib_t = t0
                     if cfg.recalib_interp:
                         # animate old -> new mesh at ~33 Hz (timed.cpp:452-459)
                         new_state = self.stitcher.state
@@ -116,8 +155,19 @@ class Runner:
                 if self._stop.is_set():
                     break
                 continue
-            out_dev, first_frames = item
-            out = self.stitcher.finalize_out(out_dev)
+            out_dev, first_frames, t_staged = item
+            if self.consume_device:
+                # force completion without the full-frame download
+                np.asarray(out_dev.ravel()[:4])
+                out = out_dev
+            else:
+                out = self.stitcher.finalize_out(out_dev)
+            if self.collect_latency and t_staged is not None:
+                now = time.perf_counter()
+                self.latencies.append(now - t_staged)
+                self.done_ts.append(now)
+            if first and self.consume_device:
+                first = False
             if first:
                 try:
                     import cv2
@@ -151,7 +201,9 @@ class Runner:
                     log.warning("egress failed: %s", e)
             fps = self.fps.tick()
             if fps is not None:
-                log.info("fps: %.2f (%s)", fps, self.timers.summary())
+                ing = getattr(self, "_ingest", None)
+                log.info("fps: %.2f (%s)%s", fps, self.timers.summary(),
+                         " [" + ing.stats_summary() + "]" if ing else "")
 
     # --- staging (double-buffered H2D) ----------------------------------
     _EOF = object()
@@ -174,7 +226,7 @@ class Runner:
                 # single-device put, or camera-sharded across the mesh
                 # when cfg.camera_shards > 1
                 dev = self.stitcher.stage_frames(frames)
-            self._staged.push(dev, block=True)
+            self._staged.push((dev, time.perf_counter()), block=True)
 
     @staticmethod
     def _to_rgb_host(frames):
@@ -212,12 +264,13 @@ class Runner:
         tracing = False
         try:
             while not self._stop.is_set():
-                frames = self._staged.pop(timeout=1.0)
-                if frames is None:
+                item = self._staged.pop(timeout=1.0)
+                if item is None:
                     continue
-                if frames is Runner._EOF:
+                if item is Runner._EOF:
                     log.info("source exhausted")
                     break
+                frames, t_staged = item
                 if (cfg.trace_dir and not tracing
                         and self.frames_done == 1):   # skip the compile frame
                     from video_stitcher_tpu.utils.trace import \
@@ -238,7 +291,7 @@ class Runner:
                 # the consumer renders the one-time calib.jpg full pano
                 # from the first frame set (off the hot loop)
                 self.results.push((out, frames if self.frames_done == 0
-                                   else None))
+                                   else None, t_staged))
                 self.frames_done += 1
                 if self.max_frames and self.frames_done >= self.max_frames:
                     break
@@ -263,15 +316,11 @@ class Runner:
 
 
 def _enable_compile_cache():
-    """Persistent XLA compile cache: calibration compiles the feature
-    pipeline (~3 min on TPU); cached across runs."""
-    import jax
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/video_stitcher_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    """Persistent XLA compile cache (shipped prebaked cache when present):
+    calibration compiles the feature pipeline (~minutes on a cold TPU
+    process); cached across runs."""
+    from video_stitcher_tpu.utils.xla_cache import enable
+    enable()
 
 
 def main(argv=None):
