@@ -24,10 +24,8 @@ def main():
     ap.add_argument("--twice", action="store_true")
     args = ap.parse_args()
 
-    import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/video_stitcher_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from video_stitcher_tpu.utils.xla_cache import enable
+    enable()
 
     from video_stitcher_tpu.config import StitcherConfig
     from video_stitcher_tpu import Stitcher

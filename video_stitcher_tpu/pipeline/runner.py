@@ -27,7 +27,8 @@ class Runner:
     def __init__(self, cfg: StitcherConfig, source=None, sink=None,
                  egress=None, max_frames: Optional[int] = None,
                  consume_device: bool = False,
-                 collect_latency: bool = False):
+                 collect_latency: bool = False,
+                 sync_every: int = 1):
         from video_stitcher_tpu.pipeline.stitcher import Stitcher
         self.cfg = cfg
         self.stitcher = Stitcher(cfg)
@@ -42,6 +43,12 @@ class Runner:
         #: Sinks still receive the (device) frame.
         self.consume_device = consume_device
         self.collect_latency = collect_latency
+        #: with consume_device, force completion only every Nth frame —
+        #: a per-frame 4-byte read costs one host<->device round trip
+        #: (tens of ms on a tunneled dev box), which would measure the
+        #: link, not the loop. The step bench syncs once per 16 frames;
+        #: sync_every=16 makes the runner number comparable.
+        self.sync_every = max(1, sync_every)
         #: per-frame end-to-end seconds (source handoff -> consumer done),
         #: filled when collect_latency is set
         self.latencies: list = []
@@ -158,7 +165,9 @@ class Runner:
             out_dev, first_frames, t_staged = item
             if self.consume_device:
                 # force completion without the full-frame download
-                np.asarray(out_dev.ravel()[:4])
+                self._consumed = getattr(self, "_consumed", 0) + 1
+                if self._consumed % self.sync_every == 0:
+                    np.asarray(out_dev.ravel()[:4])
                 out = out_dev
             else:
                 out = self.stitcher.finalize_out(out_dev)
@@ -286,12 +295,25 @@ class Runner:
                 with self._latest_lock:
                     self._latest_frames = frames
                 with self.timers.time("stitch"):
+                    # async dispatch — NO per-frame device sync here: the
+                    # consumer forces completion when it downloads (or
+                    # syncs) the frame, and the bounded queues bound how
+                    # far dispatch runs ahead. A block_until_ready here
+                    # cost one host<->device round trip per frame
+                    # (~25 ms on the dev tunnel: it capped the whole
+                    # pipeline at ~30 fps). The "stitch" stage time is
+                    # therefore dispatch cost; end-to-end completion is
+                    # what the consumer-side latency stamps measure.
                     out = self.stitcher.stitch_out(frames, device=True)
-                    out.block_until_ready()
                 # the consumer renders the one-time calib.jpg full pano
-                # from the first frame set (off the hot loop)
+                # from the first frame set (off the hot loop). With a
+                # bounded results queue and clear_buffers off, the push
+                # BLOCKS (backpressure bounds how far async dispatch runs
+                # ahead of completion); with clear_buffers the oldest
+                # result drops instead (timed.cpp:141-151 policy)
                 self.results.push((out, frames if self.frames_done == 0
-                                   else None, t_staged))
+                                   else None, t_staged),
+                                  block=not cfg.clear_buffers)
                 self.frames_done += 1
                 if self.max_frames and self.frames_done >= self.max_frames:
                     break

@@ -280,6 +280,15 @@ class Stitcher:
         (the Runner's staging thread uses this — single device, or
         camera-sharded across the mesh)."""
         if self._shard is None:
+            # already-staged device arrays pass through: a per-frame
+            # device_put on a committed buffer still costs a client call
+            # on tunneled backends
+            if isinstance(frames, jax.Array):
+                try:
+                    if jax.devices()[0] in frames.devices():
+                        return frames
+                except Exception:
+                    pass
             return jax.device_put(frames)
         return self._shard_frames(frames)
 
