@@ -58,8 +58,12 @@ class StitcherConfig:
     #: anyway, so detections beyond ~512 are discarded, (b) 2500/8
     #: multiplies recalibration latency ~4-8x (the kNN is K^2 Hamming;
     #: measured 1.1 s -> 9.1 s CPU re-solve) against the 1 s RECALIB_DEL
-    #: cadence budget, and (c) mesh quality on the e2e rig is measurably
-    #: identical at both settings. Set 2500/1.2/8 for reference parity.
+    #: cadence budget, and (c) the solved CPW mesh is IDENTICAL at both
+    #: settings on a natural-photograph rig (median and max backward-map
+    #: delta 0.000 px — tests/test_features_natural.py::
+    #: test_orb_512_vs_2500_mesh_equivalence_natural, which also measures
+    #: detector repeatability at parity with cv2.ORB: 0.94-0.96 vs
+    #: 0.91-0.96 under shift). Set 2500/1.2/8 for reference parity.
     orb_num_features: int = 512
     orb_scale_factor: float = 1.2
     orb_num_levels: int = 4
