@@ -128,6 +128,28 @@ _match_jit = jax.jit(knn_ratio_match)
 _ransac_jit = jax.jit(ransac_homography)
 
 
+@jax.jit
+def _match_ransac_all_jit(xy, desc, valid, keys, ratio):
+    """ALL ring pairs (idx vs idx-1 mod C) in one program: vmapped
+    knn+ratio match, point gather, and RANSAC. One dispatch + one fetch
+    instead of ~4 per camera — on a tunneled backend the per-call client
+    overhead (~8 ms) made the per-camera loop a measurable slice of the
+    Rewarp budget. xy [C,K,2] f32, desc [C,K,8] u32, valid [C,K] bool,
+    keys [C,2] u32. Returns (p1, p2, ok, inl, dist), each [C, K, ...]."""
+    d2 = jnp.roll(desc, 1, axis=0)
+    v2 = jnp.roll(valid, 1, axis=0)
+    xy2 = jnp.roll(xy, 1, axis=0)
+
+    def one(xy1, xyd, d1, dd, v1, vd, key):
+        m = knn_ratio_match(d1, dd, v1, vd, ratio)
+        p1 = jnp.take(xy1, m.query, axis=0)
+        p2 = jnp.take(xyd, m.train, axis=0)
+        _, inl, _ = ransac_homography(p1, p2, m.valid, key)
+        return p1, p2, m.valid, inl, m.distance
+
+    return jax.vmap(one)(xy, xy2, desc, d2, valid, v2, keys)
+
+
 def prewarm_mesh_programs(cfg, geom, strip_warp: bool = False) -> None:
     """Compile the recalibration program set concurrently, ahead of use.
 
@@ -310,30 +332,24 @@ class MeshPipeline:
                           scale_factor=cfg.orb_scale_factor)
         sal_dev = _salience_all(bands, self.solver.N - 1, self.solver.M - 1)
 
-        # queue ALL per-pair device work (match, point gather, RANSAC),
-        # then cross to the host in ONE batched fetch — interleaving
-        # np.asarray with dispatches serializes on the device queue (and on
-        # a tunneled dev box each sync costs seconds)
-        pend = {}
-        for idx in range(c):
-            dst = (idx - 1) % c
-            if dst == c - 1 and not cfg.wrap_around:
-                continue
-            m = self._match(kps.desc[idx], kps.desc[dst],
-                            kps.valid[idx], kps.valid[dst], cfg.lowe_ratio)
-            p1 = jnp.take(kps.xy[idx], m.query, axis=0)
-            p2 = jnp.take(kps.xy[dst], m.train, axis=0)
-            _, inl, _ = self._ransac(p1, p2, m.valid, self._next_key())
-            pend[idx] = (p1, p2, m.valid, inl, m.distance)
-        host = jax.device_get(pend)
-        salience = jax.device_get(sal_dev)
+        # ALL per-pair device work (match, point gather, RANSAC) as ONE
+        # vmapped program, then ONE batched fetch with the salience —
+        # per-pair dispatches + per-sync fetches cost a tunnel round trip
+        # each on a tunneled dev box
+        keys = jax.random.split(self._next_key(), c)
+        pend = _match_ransac_all_jit(kps.xy, kps.desc, kps.valid, keys,
+                                     cfg.lowe_ratio)
+        host, salience = jax.device_get((pend, sal_dev))
+        p1b, p2b, okb, inlb, distb = host
 
         matches: List[Optional[CamMatches]] = []
         for idx in range(c):
-            if idx not in host:
+            dst = (idx - 1) % c
+            if dst == c - 1 and not cfg.wrap_around:
                 matches.append(None)
                 continue
-            p1, p2, ok, inl, dist = host[idx]
+            p1, p2, ok, inl, dist = (p1b[idx], p2b[idx], okb[idx],
+                                     inlb[idx], distb[idx])
             ok = np.asarray(ok, bool)
             if ok.sum() >= 8:
                 ok = ok & np.asarray(inl, bool)

@@ -347,12 +347,16 @@ class Stitcher:
                                       geom.warp_src_h, warp_w,
                                       min_sh=prev[0], min_whc=prev[1],
                                       min_slab_w=prev[2])
+        # one batched host->device transfer for the three plan arrays
+        # (three separate puts cost three tunnel round trips per recalib)
+        so_d, cp_d, gl_d = jax.device_put(
+            (plan.strip_off, plan.chunk_packed, plan.groups))
         state = state._replace(
             fused_maps=mpj,
-            warp_strip_off=jnp.asarray(plan.strip_off),
-            warp_chunk_packed=jnp.asarray(plan.chunk_packed),
+            warp_strip_off=so_d,
+            warp_chunk_packed=cp_d,
             warp_maps_lane=repack_maps_lane(mpj),
-            warp_groups=jnp.asarray(plan.groups))
+            warp_groups=gl_d)
         # rotate the plan stats so interpolate_states can build its
         # endpoint-union plan without ever touching the map tensors
         self._plan_stats_prev = getattr(self, "_plan_stats_for", None)
