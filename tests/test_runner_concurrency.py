@@ -171,6 +171,51 @@ def test_source_eof_during_interp_animation(tmp_path, monkeypatch):
     assert r.frames_done >= 1
 
 
+def test_recalib_deadline_cadence():
+    """The recalibration loop is deadline-based (VERDICT r2 #3): the wait
+    deducts the solve time, so the effective period is ~max(period, solve),
+    NOT period + solve (the reference waits RECALIB_DEL *then* solves,
+    defs.h:48 / timed.cpp:414-463 — same flaw this loop fixes). Drives
+    _recalib_loop directly with a stubbed solve; no device work."""
+    import threading
+    import time
+
+    def run_loop(period_s, solve_s, n_solves):
+        cfg = StitcherConfig(num_images=6, input_width=320, input_height=180,
+                             recalibrate=True, enable_local=True,
+                             recalib_interp=False,
+                             recalib_del_ms=int(period_s * 1000))
+        r = Runner(cfg)
+        r._latest_frames = np.zeros((1,), np.uint8)   # loop needs frames
+
+        def fake_solve(frames):
+            time.sleep(solve_s)
+            return True
+
+        r.stitcher.recalibrate_mesh = fake_solve
+        t = threading.Thread(target=r._recalib_loop)
+        t.start()
+        deadline = time.monotonic() + 30
+        while len(r.recalib_ts) < n_solves and time.monotonic() < deadline:
+            time.sleep(0.02)
+        r._stop.set()
+        t.join(timeout=10)
+        assert not t.is_alive()
+        assert len(r.recalib_ts) >= n_solves, len(r.recalib_ts)
+        gaps = np.diff(np.array(r.recalib_ts[:n_solves]))
+        return float(np.median(gaps))
+
+    # solve < period: cadence ~= period (the old wait-then-solve behavior
+    # would give period + solve = 0.60 s; generous bounds for a loaded box)
+    med = run_loop(period_s=0.45, solve_s=0.15, n_solves=5)
+    assert 0.38 <= med <= 0.58, med
+
+    # solve > period: overruns skip missed slots and resolve promptly —
+    # cadence ~= solve, never solve + period (0.70) or a catch-up pileup
+    med = run_loop(period_s=0.20, solve_s=0.50, n_solves=4)
+    assert 0.45 <= med <= 0.68, med
+
+
 def test_egress_reconnect_racing_close():
     """A flaky player kills every connection after a few bytes, driving
     send_frame into its reconnect path, while close() lands from another
