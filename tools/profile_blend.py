@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")
+from video_stitcher_tpu.utils.xla_cache import enable as _enable_cache
+_enable_cache()    # shipped prebaked cache; compiles cost tunnel transfers
 from video_stitcher_tpu.geometry.cylindrical import BandLayout
 from video_stitcher_tpu.ops.pyramid import (
     pyr_down, pyr_up, laplacian_pyramid, _conv5,

@@ -36,9 +36,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/video_stitcher_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from video_stitcher_tpu.utils.xla_cache import enable
+    enable()    # shipped prebaked cache; compiles here cost tunnel transfers
     import jax.numpy as jnp
 
     from video_stitcher_tpu.config import StitcherConfig

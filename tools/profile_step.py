@@ -10,6 +10,9 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+from video_stitcher_tpu.utils.xla_cache import enable as _enable_cache
+_enable_cache()    # shipped prebaked cache; compiles cost tunnel transfers
+
 from video_stitcher_tpu.config import StitcherConfig
 from video_stitcher_tpu import Stitcher
 from video_stitcher_tpu.pipeline.stitcher import warp_bands, stitch_pano, output_frame
