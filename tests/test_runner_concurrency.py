@@ -283,3 +283,23 @@ def test_egress_reconnect_racing_close():
     srv_t.join(timeout=5)
     assert not snd_t.is_alive(), "sender hung after egress close"
     assert outcome.get("stopped") == "egress closed", outcome
+
+
+def test_runner_shallow_queue_latency_mode(tmp_path, monkeypatch):
+    """staging_depth=1 + results_max_size=1 is the latency-critical
+    configuration (bench.py's runner latency phase): at most one staged
+    frame set and one undelivered result are ever in flight, so a frame's
+    staged->done latency measures the product, not queue occupancy.
+    Verifies the knob reaches the queue and the run completes."""
+    import dataclasses
+    monkeypatch.chdir(tmp_path)
+    cfg = dataclasses.replace(
+        StitcherConfig(num_images=6, input_width=320, input_height=180,
+                       recalibrate=False, enable_local=False),
+        results_max_size=1, clear_buffers=False)
+    r = Runner(cfg, max_frames=6, consume_device=True,
+               collect_latency=True, staging_depth=1)
+    r.run()
+    assert r._staged.max_size == 1
+    assert r.frames_done == 6
+    assert len(r.latencies) >= 5 and all(l > 0 for l in r.latencies)

@@ -28,7 +28,8 @@ class Runner:
                  egress=None, max_frames: Optional[int] = None,
                  consume_device: bool = False,
                  collect_latency: bool = False,
-                 sync_every: int = 1):
+                 sync_every: int = 1,
+                 staging_depth: int = 2):
         from video_stitcher_tpu.pipeline.stitcher import Stitcher
         self.cfg = cfg
         self.stitcher = Stitcher(cfg)
@@ -49,6 +50,11 @@ class Runner:
         #: link, not the loop. The step bench syncs once per 16 frames;
         #: sync_every=16 makes the runner number comparable.
         self.sync_every = max(1, sync_every)
+        #: staged-frame queue depth. 2 = double-buffered H2D (default,
+        #: throughput-optimal); 1 minimizes frames in flight for
+        #: latency-critical deployments (each queued stage adds one
+        #: frame-time of staged->done latency).
+        self.staging_depth = max(1, staging_depth)
         #: per-frame end-to-end seconds (source handoff -> consumer done),
         #: filled when collect_latency is set
         self.latencies: list = []
@@ -261,7 +267,8 @@ class Runner:
         self.stitcher.calibrate(self._to_rgb_host(frames))
         log.info("Calibration done in: %.0f ms", (time.perf_counter() - t0) * 1e3)
 
-        self._staged = FrameQueue(max_size=2, drop_oldest=False)
+        self._staged = FrameQueue(max_size=self.staging_depth,
+                                  drop_oldest=False)
         consumer = threading.Thread(target=self._consume_loop, daemon=True)
         recalib = threading.Thread(target=self._recalib_loop, daemon=True)
         stager = threading.Thread(target=self._stage_loop, args=(source,),
