@@ -397,8 +397,11 @@ class MeshPipeline:
                                   salience=salience)
         if cfg.visualize_matches or cfg.visualize_mesh:
             self._dump_viz(bands, matches, verts)
-        return mesh_to_backward_maps(jnp.asarray(verts),
-                                     geom.layout.band_h, geom.layout.band_w)
+        # verts is host numpy (the CPW solve runs on host) — hand it
+        # straight to the host coarse inversion; wrapping it in
+        # jnp.asarray cost an H2D put + D2H get round trip per solve
+        return mesh_to_backward_maps(verts, geom.layout.band_h,
+                                     geom.layout.band_w)
 
     def _dump_viz(self, bands, matches, verts):
         """Write match / mesh debug images for this recalibration
