@@ -220,16 +220,27 @@ def test_orb_512_vs_2500_mesh_equivalence_natural():
     scene = _natural_scene(geom.layout.pano_w, geom.layout.pano_h)
     frames = render_views(cfg_a, geom, scene)
 
+    import jax.numpy as jnp
+    from video_stitcher_tpu.mesh.mesh2map import upsample_backward_disp
+
+    def dense_maps(st):
+        disp = st._mesh_pipe.run(frames)
+        if disp is None:
+            return None
+        lay = st.geom.layout
+        return np.asarray(upsample_backward_disp(jnp.asarray(disp),
+                                                 lay.band_h, lay.band_w))
+
     st_a = Stitcher(cfg_a)
     st_a.calibrate(frames)
-    maps_a = st_a._mesh_pipe.run(frames)
+    maps_a = dense_maps(st_a)
     assert maps_a is not None, "512/4: no mesh solved on natural texture"
 
     cfg_b = dataclasses.replace(cfg_a, orb_num_features=2500,
                                 orb_num_levels=8)
     st_b = Stitcher(cfg_b)
     st_b.calibrate(frames)
-    maps_b = st_b._mesh_pipe.run(frames)
+    maps_b = dense_maps(st_b)
     assert maps_b is not None, "2500/8: no mesh solved on natural texture"
 
     d = np.abs(np.asarray(maps_a) - np.asarray(maps_b))

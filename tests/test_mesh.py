@@ -95,6 +95,65 @@ def test_mesh_to_backward_maps_identity():
     np.testing.assert_allclose(maps[0, 1], gy, atol=1e-2)
 
 
+def test_compose_from_disp_matches_gather_compose():
+    """The gather-free recalibration compose (analytic cylindrical map
+    evaluated at the mesh-warped coordinates) must agree with the
+    bilinear-gather twin (dense mesh map + remap of the precomputed
+    band_maps) everywhere the gather's 2x2 neighborhood is valid — the
+    analytic path is the more exact of the two, so the tolerance is the
+    bilinear interpolation error of the smooth map (sub-0.1 px)."""
+    import jax.numpy as jnp
+    from video_stitcher_tpu.config import StitcherConfig
+    from video_stitcher_tpu.calib.calibration import (
+        compose_fused_maps_device, compose_fused_maps_from_disp,
+        krinv_device, plan_geometry)
+    from video_stitcher_tpu.geometry.cylindrical import \
+        band_backward_maps_device
+    from video_stitcher_tpu.mesh.mesh2map import upsample_backward_disp
+
+    cfg = StitcherConfig(num_images=4, input_width=320, input_height=180)
+    geom, cams = plan_geometry(cfg)
+    lay = geom.layout
+    bh, bw = lay.band_h, lay.band_w
+
+    step = 8
+    hc = max(10, (bh - 1 + step - 1) // step + 1)
+    wc = max(10, (bw - 1 + step - 1) // step + 1)
+    rng = np.random.default_rng(3)
+    disp_c = rng.normal(0, 2.0, (cfg.num_images, 2, hc, wc)) \
+        .astype(np.float32)
+
+    band_maps = band_backward_maps_device(lay, cams)
+    mesh_maps = upsample_backward_disp(jnp.asarray(disp_c), bh, bw)
+    gold = np.asarray(compose_fused_maps_device(band_maps, mesh_maps,
+                                                geom=geom))
+    new = np.asarray(compose_fused_maps_from_disp(
+        krinv_device(cams), jnp.asarray(disp_c), geom=geom))
+
+    # validity in composed coordinates: the -1 sentinel goes through the
+    # same compose-scale adjust as real values
+    s = geom.compose_scale
+    sent = (-1.0 + 0.5) / s - 0.5 if (not geom.prewarp
+                                      and abs(s - 1.0) > 1e-1) else -1.0
+    valid = np.all(np.abs(new - sent) > 1e-3, axis=1)   # [N, bh, bw]
+    # erode by 1 px so the gather's 2x2 support never spans the horizon
+    er = valid.copy()
+    er[:, 1:] &= valid[:, :-1]
+    er[:, :-1] &= valid[:, 1:]
+    er[:, :, 1:] &= valid[:, :, :-1]
+    er[:, :, :-1] &= valid[:, :, 1:]
+    # and keep away from band borders, where the gather clamps
+    # (replicate) while the analytic path evaluates the true map
+    m = int(np.ceil(np.abs(disp_c).max())) + 2
+    er[:, :m] = er[:, -m:] = er[:, :, :m] = er[:, :, -m:] = False
+
+    d = np.abs(gold - new)[:, :, :, :] * er[:, None]
+    assert er.sum() > 0.2 * er.size
+    assert float(np.median(d[np.broadcast_to(er[:, None], d.shape)])) \
+        < 0.02, float(np.median(d))
+    assert float(np.percentile(d, 99.9)) < 0.25, float(np.percentile(d, 99.9))
+
+
 def test_coarse_backward_disp_matches_fullres_inversion():
     """The host coarse-grid Picard inversion + dense upsample must agree
     with the full-resolution device inversion on a realistic wobbled

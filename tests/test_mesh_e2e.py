@@ -34,9 +34,14 @@ def test_mesh_near_identity_without_parallax(mesh_stitch):
     # matches must have been found on at least half the seams
     n_with = sum(1 for m in solver.old_matches if m is not None and len(m.p1))
     assert n_with >= 3
-    # solve again and inspect displacement
-    maps = pipe.run(frames)
-    assert maps is not None
+    # solve again and inspect displacement (run returns the coarse
+    # backward displacement; densify to full res like the old contract)
+    from video_stitcher_tpu.mesh.mesh2map import upsample_backward_disp
+    disp = pipe.run(frames)
+    assert disp is not None
+    import jax.numpy as jnp
+    maps = np.asarray(upsample_backward_disp(
+        jnp.asarray(disp), geom.layout.band_h, geom.layout.band_w))
     gy, gx = np.mgrid[0:geom.layout.band_h, 0:geom.layout.band_w]
     dx = np.abs(maps[:, 0] - gx)
     dy = np.abs(maps[:, 1] - gy)

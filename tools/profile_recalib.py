@@ -150,21 +150,22 @@ def main():
     verts = pipe.solver.solve(matches, temporal=[None] * c, salience=salience)
     t = tick("host_filter+cpw_solve", t)
 
-    from video_stitcher_tpu.mesh.mesh2map import mesh_to_backward_maps
-    maps_dev = mesh_to_backward_maps(jnp.asarray(verts),
-                                     geom.layout.band_h, geom.layout.band_w)
-    _sync(maps_dev)
-    t = tick("mesh_to_backward_maps", t)
+    from video_stitcher_tpu.mesh.mesh2map import coarse_backward_disp
+    disp_c = coarse_backward_disp(np.asarray(verts),
+                                  geom.layout.band_h, geom.layout.band_w)
+    t = tick("coarse_backward_disp_host", t)
 
-    # device-resident compose + plan (the round-2 fast path: no map
-    # download / host compose / re-upload)
-    from video_stitcher_tpu.calib.calibration import compose_fused_maps_device
-    if getattr(st, "_band_maps_dev", None) is None:
-        st._band_maps_dev = jax.device_put(st.aux["band_maps"])
-    fused_dev = compose_fused_maps_device(st._band_maps_dev, maps_dev,
-                                          geom=geom)
+    # gather-free compose (the round-3 fast path): upload the ~400 KB
+    # coarse displacement and evaluate the analytic cylindrical map at
+    # the mesh coordinates — no dense mesh map, no band_maps gather
+    from video_stitcher_tpu.calib.calibration import (
+        compose_fused_maps_from_disp, krinv_device)
+    if getattr(st, "_krinv_dev", None) is None:
+        st._krinv_dev = krinv_device(st.aux["cams_compose"])
+    fused_dev = compose_fused_maps_from_disp(st._krinv_dev,
+                                             jnp.asarray(disp_c), geom=geom)
     _sync(fused_dev)
-    t = tick("compose_fused_maps_device", t)
+    t = tick("compose_fused_maps_from_disp", t)
 
     from video_stitcher_tpu.ops.remap_strips import (
         chunk_stats_device, pad_maps_device, plan_strips_from_stats,

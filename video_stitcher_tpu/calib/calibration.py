@@ -351,6 +351,52 @@ def compose_fused_maps_device(band_maps, mesh_maps, geom: StitchGeometry):
     return maps
 
 
+def krinv_device(cams):
+    """K @ R.T per camera as a device f32 [N, 3, 3] — the only camera
+    state compose_fused_maps_from_disp needs (same product
+    band_backward_maps_device feeds the analytic map builder)."""
+    return jax.device_put(
+        np.stack([c.K @ c.R.T for c in cams]).astype(np.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("geom",))
+def compose_fused_maps_from_disp(krinv, disp_c, geom: StitchGeometry):
+    """Gather-free twin of compose_fused_maps_device for the
+    recalibration hot path. Instead of densifying the mesh backward map
+    and bilinearly gathering the precomputed band_maps tensor at it —
+    a full-res XLA gather that was ~460 ms of device time per rewarp,
+    the single largest program on that path — this upsamples the coarse
+    backward mesh displacement (align-corners MXU matmuls) and
+    EVALUATES the analytic cylindrical backward map at the mesh-warped
+    band coordinates: pure VPU elementwise math (sin/cos + 3x3 matrix +
+    divide), exact where the gather was a bilinear approximation, with
+    clean validity at the pz<=0 horizon where interpolation blended the
+    -1 sentinel into real coordinates.
+
+    krinv f32 [N, 3, 3] (krinv_device); disp_c f32 [N, 2, hc, wc] coarse
+    backward displacement in full-res pixel units (coarse_backward_disp).
+    Same output contract as compose_fused_maps_device: fused maps
+    [N, 2, band_h, band_w] in warp-source coordinates (timed.cpp:77-103
+    semantics)."""
+    from video_stitcher_tpu.mesh.mesh2map import upsample_mesh
+    from video_stitcher_tpu.geometry.cylindrical import eval_cyl_backward
+    lay = geom.layout
+    bh, bw = lay.band_h, lay.band_w
+    bd = upsample_mesh(disp_c, bh, bw)               # [N, 2, bh, bw]
+    gy, gx = jnp.mgrid[0:bh, 0:bw]
+    mesh_x = gx.astype(jnp.float32)[None] - bd[:, 0]
+    mesh_y = gy.astype(jnp.float32)[None] - bd[:, 1]
+    corners = jnp.asarray(np.asarray(lay.corners, np.float32))
+    u = mesh_x + np.float32(lay.u0) + corners[:, None, None]
+    v = mesh_y + np.float32(lay.v0)
+    mx, my = eval_cyl_backward(krinv, u, v, np.float32(lay.scale))
+    maps = jnp.stack([mx, my], axis=1)
+    s = geom.compose_scale
+    if not geom.prewarp and abs(s - 1.0) > 1e-1:     # timed.cpp:75
+        maps = (maps + 0.5) / s - 0.5
+    return maps
+
+
 def prewarp_source(x, geom: StitchGeometry):
     """Resize planar f32 frames [..., H, W] to the warp-source (compose)
     scale when the fused maps live in compose coordinates (the reference's

@@ -225,6 +225,30 @@ def band_backward_maps_device(layout: BandLayout, cams: Sequence[CameraParams]):
     return _band_maps_jit(jax.device_put(krinv), layout)
 
 
+def eval_cyl_backward(krinv, u, v, scale):
+    """Analytic per-camera cylindrical backward map at arbitrary pano
+    coordinates (jnp, jit-traceable; the math of
+    CylindricalWarperGpu::buildMaps, warpers_cuda.cpp:254-276).
+    krinv f32 [N, 3, 3] = K @ R.T per camera; u, v pano coords
+    broadcastable to [N, h, w] (already offset by layout.u0 + corner and
+    layout.v0); scale the cylinder radius. Returns (mx, my) with the -1
+    sentinel where the ray exits behind the camera (pz <= 0)."""
+    import jax.numpy as jnp
+    theta = u / scale
+    dx = jnp.sin(theta)
+    dz = jnp.cos(theta)
+    dy = (v / scale) + jnp.zeros_like(theta)
+    k = krinv[:, :, :, None, None]                   # [N, 3, 3, 1, 1]
+    px = k[:, 0, 0] * dx + k[:, 0, 1] * dy + k[:, 0, 2] * dz
+    py = k[:, 1, 0] * dx + k[:, 1, 1] * dy + k[:, 1, 2] * dz
+    pz = k[:, 2, 0] * dx + k[:, 2, 1] * dy + k[:, 2, 2] * dz
+    good = pz > 0
+    safe = jnp.where(good, pz, 1.0)
+    mx = jnp.where(good, px / safe, -1.0)
+    my = jnp.where(good, py / safe, -1.0)
+    return mx, my
+
+
 @functools.lru_cache(maxsize=1)
 def _get_band_maps_jit():
     import jax
@@ -237,18 +261,7 @@ def _get_band_maps_jit():
         u = xs[None, None, :] + corners[:, None, None]   # [N, 1, bw]
         v = (jnp.arange(layout.band_h, dtype=jnp.float32)
              + np.float32(layout.v0))[None, :, None]     # [1, bh, 1]
-        theta = u / np.float32(layout.scale)
-        dx = jnp.sin(theta)
-        dz = jnp.cos(theta)
-        dy = (v / np.float32(layout.scale)) + jnp.zeros_like(theta)
-        k = krinv[:, :, :, None, None]                   # [N, 3, 3, 1, 1]
-        px = k[:, 0, 0] * dx + k[:, 0, 1] * dy + k[:, 0, 2] * dz
-        py = k[:, 1, 0] * dx + k[:, 1, 1] * dy + k[:, 1, 2] * dz
-        pz = k[:, 2, 0] * dx + k[:, 2, 1] * dy + k[:, 2, 2] * dz
-        good = pz > 0
-        safe = jnp.where(good, pz, 1.0)
-        mx = jnp.where(good, px / safe, -1.0)
-        my = jnp.where(good, py / safe, -1.0)
+        mx, my = eval_cyl_backward(krinv, u, v, np.float32(layout.scale))
         return jnp.stack([mx, my], axis=1)               # [N, 2, bh, bw]
 
     return functools.partial(jax.jit, static_argnames=("layout",))(impl)

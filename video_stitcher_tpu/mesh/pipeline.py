@@ -16,7 +16,7 @@ from video_stitcher_tpu.features.orb import detect_and_describe
 from video_stitcher_tpu.features.match import knn_ratio_match
 from video_stitcher_tpu.features.ransac import ransac_homography
 from video_stitcher_tpu.mesh.cpw import CamMatches, CPWSolver, TemporalMatches
-from video_stitcher_tpu.mesh.mesh2map import mesh_to_backward_maps
+from video_stitcher_tpu.mesh.mesh2map import coarse_backward_disp
 from video_stitcher_tpu.ops.color import rgb_to_gray
 from video_stitcher_tpu.ops.remap import remap_planar
 
@@ -219,9 +219,12 @@ def prewarm_mesh_programs(cfg, geom, strip_warp: bool = False) -> None:
 
     def f_compose():
         from video_stitcher_tpu.calib.calibration import \
-            compose_fused_maps_device
-        compose_fused_maps_device.lower(maps_st, maps_st,
-                                        geom=geom).compile()
+            compose_fused_maps_from_disp
+        step = 8
+        hcc = max(cfg.mesh_height, (bh - 1 + step - 1) // step + 1)
+        wcc = max(cfg.mesh_width, (bw - 1 + step - 1) // step + 1)
+        compose_fused_maps_from_disp.lower(
+            st((c, 3, 3)), st((c, 2, hcc, wcc)), geom=geom).compile()
 
     def f_plan_bits():
         pad_maps_device.lower(maps_st).compile()
@@ -235,7 +238,11 @@ def prewarm_mesh_programs(cfg, geom, strip_warp: bool = False) -> None:
     # the dev TPU), so skip it when the strip kernel will be used (the
     # strip twin compiles in ~4 s at first use, after the plan exists)
     jobs = [f_detect, f_match, f_ransac, f_salience,
-            f_mesh2map, f_compose, f_plan_bits]
+            f_compose, f_plan_bits]
+    if cfg.update_masks:
+        # dense mesh maps are only materialized on the opt-in
+        # update_masks path; skip the compile otherwise
+        jobs.append(f_mesh2map)
     if not strip_warp:
         jobs.insert(0, f_warp)
     with cf.ThreadPoolExecutor(max_workers=len(jobs)) as ex:
@@ -306,9 +313,12 @@ class MeshPipeline:
         return sub
 
     def run(self, frames: np.ndarray):
-        """frames u8 [C, H, W, 3] -> mesh backward maps f32 [C, 2, bh, bw]
-        as a DEVICE array (None when no usable matches) — the caller
-        composes them into the fused maps on device."""
+        """frames u8 [C, H, W, 3] -> coarse mesh backward DISPLACEMENT
+        f32 [C, 2, hc, wc] (host numpy; None when no usable matches) in
+        full-res pixel units. The caller folds it into the fused maps
+        with the gather-free compose_fused_maps_from_disp, or densifies
+        it with mesh2map.upsample_backward_disp when it needs the dense
+        mesh backward map itself."""
         geom = self.geom
         cfg = self.cfg
         c = geom.num_images
@@ -398,10 +408,13 @@ class MeshPipeline:
         if cfg.visualize_matches or cfg.visualize_mesh:
             self._dump_viz(bands, matches, verts)
         # verts is host numpy (the CPW solve runs on host) — hand it
-        # straight to the host coarse inversion; wrapping it in
-        # jnp.asarray cost an H2D put + D2H get round trip per solve
-        return mesh_to_backward_maps(verts, geom.layout.band_h,
-                                     geom.layout.band_w)
+        # straight to the host coarse inversion. The ~400 KB coarse
+        # backward displacement is the return value: the caller composes
+        # it with the analytic band map in ONE gather-free device
+        # program (compose_fused_maps_from_disp), so the dense mesh map
+        # is never materialized on the rewarp path.
+        return coarse_backward_disp(verts, geom.layout.band_h,
+                                    geom.layout.band_w)
 
     def _dump_viz(self, bands, matches, verts):
         """Write match / mesh debug images for this recalibration

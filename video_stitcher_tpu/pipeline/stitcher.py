@@ -536,23 +536,31 @@ class Stitcher:
         (the reference's recalibrateMesh thread body, timed.cpp:414-463).
         Returns True if a new mesh was installed."""
         from video_stitcher_tpu.mesh.pipeline import solve_mesh_maps
-        mesh_maps = solve_mesh_maps(frames, self)   # device array (or None)
-        if mesh_maps is None:
+        disp_c = solve_mesh_maps(frames, self)  # coarse disp np (or None)
+        if disp_c is None:
             return False
-        # compose global ∘ mesh on device: the ~100 MB map tensors never
-        # cross the host boundary on the recalibration path (the round-1
-        # download→host-compose→re-upload chain dominated Rewarp latency)
-        from video_stitcher_tpu.calib.calibration import \
-            compose_fused_maps_device
-        if getattr(self, "_band_maps_dev", None) is None:
-            self._band_maps_dev = jax.device_put(self.aux["band_maps"])
-        fused_dev = compose_fused_maps_device(self._band_maps_dev,
-                                              mesh_maps, geom=self.geom)
+        # compose global ∘ mesh on device, gather-free: only the ~400 KB
+        # coarse displacement crosses host→device; the fused maps are
+        # built by evaluating the analytic cylindrical map at the
+        # mesh-warped coordinates (compose_fused_maps_from_disp) — the
+        # dense mesh map and the precomputed band_maps gather (the two
+        # biggest device programs of the round-2 rewarp) are gone
+        from video_stitcher_tpu.calib.calibration import (
+            compose_fused_maps_from_disp, krinv_device)
+        if getattr(self, "_krinv_dev", None) is None:
+            self._krinv_dev = krinv_device(self.aux["cams_compose"])
+        fused_dev = compose_fused_maps_from_disp(
+            self._krinv_dev, jnp.asarray(disp_c), geom=self.geom)
         new_state, new_static = self._plan_warp(self.state,
                                                 fused_dev=fused_dev)
         from video_stitcher_tpu.utils.hostdev import commit
         new_state = commit(new_state)
         if self.cfg.update_masks:
+            from video_stitcher_tpu.mesh.mesh2map import \
+                upsample_backward_disp
+            lay = self.geom.layout
+            mesh_maps = upsample_backward_disp(jnp.asarray(disp_c),
+                                               lay.band_h, lay.band_w)
             new_state = self._rebuild_weights(new_state, mesh_maps)
         # atomic (statics, program, state) swap: the stitch thread must
         # never pair the new state (whose strip plan targets the new
