@@ -64,13 +64,15 @@ def _fast_corners(gray, threshold: float):
     dark = taps < gray[None] - threshold
 
     def arc9(m):
-        hit = jnp.zeros_like(m[0], dtype=bool)
-        for k in range(16):
-            run = m[k]
-            for j in range(1, 9):
-                run = run & m[(k + j) % 16]
-            hit = hit | run
-        return hit
+        # run-length doubling: m9[k] == AND of m[k..k+8] (circular), so a
+        # >=9 arc exists iff any m9. 4 rolled ANDs + a reduce instead of
+        # the naive 16x8 AND chain (the chain was ~40 ms of the fused
+        # 6-camera detect; this form is a few ms)
+        m2 = m & jnp.roll(m, -1, axis=0)      # runs of >=2
+        m4 = m2 & jnp.roll(m2, -2, axis=0)    # >=4
+        m8 = m4 & jnp.roll(m4, -4, axis=0)    # >=8
+        m9 = m8 & jnp.roll(m, -8, axis=0)     # >=9
+        return jnp.any(m9, axis=0)
 
     corner = arc9(bright) | arc9(dark)
     # margin score (for reference only; ranking uses Harris)
@@ -92,13 +94,14 @@ def _harris(gray, k: float = 0.04, block: int = 7):
     iy = (s(1, -1) + 2 * s(1, 0) + s(1, 1)) - (s(-1, -1) + 2 * s(-1, 0) + s(-1, 1))
 
     def box(x):
+        # separable (the 2D edge-padded box sum clips each axis
+        # independently, so row-sum-then-col-sum is exact): 2*block adds
+        # instead of block^2
         r = block // 2
-        xp = jnp.pad(x, r, mode="edge")
-        out = jnp.zeros_like(x)
-        for dy in range(block):
-            for dx in range(block):
-                out = out + xp[dy:dy + h, dx:dx + w]
-        return out
+        xp = jnp.pad(x, ((r, r), (0, 0)), mode="edge")
+        x = sum(xp[dy:dy + h] for dy in range(block))
+        xp = jnp.pad(x, ((0, 0), (r, r)), mode="edge")
+        return sum(xp[:, dx:dx + w] for dx in range(block))
 
     sxx, syy, sxy = box(ix * ix), box(iy * iy), box(ix * iy)
     det = sxx * syy - sxy * sxy
@@ -161,14 +164,13 @@ def _describe(smooth, xs, ys, angles):
 
 
 def _box5(img):
-    """5x5 box smoothing (stand-in for ORB's integral-image smoothing)."""
+    """5x5 box smoothing (stand-in for ORB's integral-image smoothing);
+    separable, like _harris.box."""
     h, w = img.shape
-    xp = jnp.pad(img, 2, mode="edge")
-    out = jnp.zeros_like(img)
-    for dy in range(5):
-        for dx in range(5):
-            out = out + xp[dy:dy + h, dx:dx + w]
-    return out / 25.0
+    xp = jnp.pad(img, ((2, 2), (0, 0)), mode="edge")
+    img = sum(xp[dy:dy + h] for dy in range(5))
+    xp = jnp.pad(img, ((0, 0), (2, 2)), mode="edge")
+    return sum(xp[:, dx:dx + w] for dx in range(5)) / 25.0
 
 
 def detect_and_describe(gray, mask=None, *, max_keypoints: int = 512,
@@ -251,20 +253,25 @@ def detect_and_describe(gray, mask=None, *, max_keypoints: int = 512,
     lvls = alll[best_i]
     valid = jnp.isfinite(best_v)
 
-    # orientation + descriptors per level, gathered on the level image
-    angles = jnp.zeros((max_keypoints,), jnp.float32)
-    descs = jnp.zeros((max_keypoints, 8), jnp.uint32)
-    for lvl in range(num_levels):
-        img = imgs[lvl]
-        sm = _box5(img)
-        hh, wh = img.shape
-        lx = xs * (wh / w0)
-        ly = ys * (hh / h0)
-        a = _orientation(sm, lx, ly)
-        d = _describe(sm, lx, ly, a)
-        sel = (lvls == lvl)
-        angles = jnp.where(sel, a, angles)
-        descs = jnp.where(sel[:, None], d, descs)
+    # orientation + descriptors in ONE pass over a level ATLAS: the
+    # smoothed level images are concatenated along x and each keypoint's
+    # coords are mapped into its own level's rectangle. The previous
+    # form ran the per-keypoint patch gathers at EVERY level and merged
+    # by mask — 4x the gather work (the kp gathers were ~150 ms of the
+    # fused 6-camera detect). Exact for every valid keypoint: the
+    # in-bounds border (PATCH_R + 4) keeps all patch taps and their
+    # 5x5 smoothing support strictly inside the keypoint's level
+    # rectangle, so no tap ever reads across an atlas seam.
+    atlas = jnp.concatenate(
+        [jnp.pad(_box5(im), ((0, h0 - im.shape[0]), (0, 0)))
+         for im in imgs], axis=1)
+    offs = np.cumsum([0] + [im.shape[1] for im in imgs[:-1]]).astype(np.float32)
+    sx_l = np.asarray([im.shape[1] / w0 for im in imgs], np.float32)
+    sy_l = np.asarray([im.shape[0] / h0 for im in imgs], np.float32)
+    ax = xs * jnp.asarray(sx_l)[lvls] + jnp.asarray(offs)[lvls]
+    ay = ys * jnp.asarray(sy_l)[lvls]
+    angles = _orientation(atlas, ax, ay)
+    descs = _describe(atlas, ax, ay, angles)
 
     return Keypoints(xy=jnp.stack([xs, ys], axis=-1),
                      response=jnp.where(valid, best_v, 0.0),

@@ -110,18 +110,39 @@ def coarse_backward_disp(verts_np: np.ndarray, band_h: int, band_w: int,
     wc = max(m, (band_w - 1 + step - 1) // step + 1)
     mh = _upsample_matrix(n, hc)                             # [hc, N]
     mw = _upsample_matrix(m, wc)                             # [wc, M]
-    fwd = np.einsum("hn,cznm,wm->czhw", mh, v, mw)           # full-res px
+    # two pairwise contractions: the 3-operand einsum picked a
+    # catastrophic order (~500 ms); this is ~4 MFLOP
+    fwd = np.einsum("hn,cznw->czhw", mh,
+                    np.einsum("cznm,wm->cznw", v, mw))       # full-res px
     sy = (band_h - 1) / (hc - 1)
     sx = (band_w - 1) / (wc - 1)
     gy, gx = np.mgrid[0:hc, 0:wc].astype(np.float32)
     disp = np.stack([fwd[:, 0] - gx * sx, fwd[:, 1] - gy * sy], axis=1)
-    # Picard in coarse-grid units: B(q) = q - D(B(q))
+    # Picard in coarse-grid units: B(q) = q - D(B(q)). Batched over
+    # cameras via take_along_axis on the flattened grids — the
+    # per-camera python loop with 2D fancy-index gathers was ~340 ms of
+    # host time per rewarp on the single-core bench host; this form is
+    # ~10x less allocation/indexing overhead for the same arithmetic.
     ux = np.broadcast_to(gx, (c, hc, wc)).copy()
     uy = np.broadcast_to(gy, (c, hc, wc)).copy()
+    dflat = disp.reshape(c, 2, hc * wc)
     for _ in range(iters):
-        s = np.empty_like(disp)
-        for ci in range(c):
-            s[ci] = _sample_bilinear_replicate_np(disp[ci], ux[ci], uy[ci])
+        x0 = np.clip(np.floor(ux).astype(np.int64), 0, wc - 1)
+        y0 = np.clip(np.floor(uy).astype(np.int64), 0, hc - 1)
+        x1 = np.minimum(x0 + 1, wc - 1)
+        y1 = np.minimum(y0 + 1, hc - 1)
+        fx = np.clip(ux - x0, 0.0, 1.0).astype(np.float32)[:, None]
+        fy = np.clip(uy - y0, 0.0, 1.0).astype(np.float32)[:, None]
+
+        def tap(yy, xx):
+            idx = (yy * wc + xx).reshape(c, 1, hc * wc)
+            return np.take_along_axis(dflat, idx, 2).reshape(c, 2, hc, wc)
+
+        top = tap(y0, x0)
+        top += fx * (tap(y0, x1) - top)
+        bot = tap(y1, x0)
+        bot += fx * (tap(y1, x1) - bot)
+        s = top + fy * (bot - top)
         ux = gx - s[:, 0] / np.float32(sx)
         uy = gy - s[:, 1] / np.float32(sy)
     return np.stack([(gx - ux) * np.float32(sx),
