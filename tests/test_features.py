@@ -45,6 +45,52 @@ def test_matching_under_shift(rng):
     assert good.mean() > 0.6
 
 
+def test_atlas_descriptors_match_per_level_form(rng):
+    """The level-atlas orientation/describe pass must be bit-identical to
+    the per-level masked form it replaced (valid keypoints only: their
+    patch taps and smoothing support stay inside the level rectangle)."""
+    import jax.numpy as jnp
+    from video_stitcher_tpu.features import orb
+    from video_stitcher_tpu.ops.resize import resize_planar
+
+    img = checker_scene(rng, 192, 256) + rng.normal(0, 3, (192, 256))
+    img = img.astype(np.float32)
+    kp = detect_and_describe(img, max_keypoints=96, num_levels=3)
+    valid = np.asarray(kp.valid)
+    assert valid.sum() > 20
+
+    # per-level reference: recompute angle/desc for each keypoint on its
+    # own level image (keypoint level = the one whose rectangle the
+    # atlas pass sampled; recover it from the level scales)
+    h0, w0 = img.shape
+    xs = np.asarray(kp.xy)[:, 0]
+    ys = np.asarray(kp.xy)[:, 1]
+    angles_ref = np.zeros_like(xs)
+    desc_ref = np.zeros((len(xs), 8), np.uint32)
+    # assign each kp to the level that reproduces its angle bit-exactly:
+    # instead, recompute per level and take the level whose desc matches
+    # is circular — so derive levels from the solved angle being equal.
+    # Simpler and strict: for every level, compute angle+desc for ALL
+    # kps and require that SOME level reproduces the atlas output for
+    # each valid kp.
+    matched = np.zeros(len(xs), bool)
+    for lvl in range(3):
+        s = 1.2 ** lvl
+        hs, ws = max(32, int(round(h0 / s))), max(32, int(round(w0 / s)))
+        im = img if lvl == 0 else np.asarray(resize_planar(
+            jnp.asarray(img), hs, ws))
+        sm = orb._box5(jnp.asarray(im))
+        lx = jnp.asarray(xs * (ws / w0))
+        ly = jnp.asarray(ys * (hs / h0))
+        a = orb._orientation(sm, lx, ly)
+        d = np.asarray(orb._describe(sm, lx, ly, a))
+        same = np.all(d == np.asarray(kp.desc), axis=1) \
+            & np.isclose(np.asarray(a), np.asarray(kp.angle), atol=1e-5)
+        matched |= same
+    assert matched[valid].all(), \
+        f"{(~matched[valid]).sum()} valid kps differ from every level"
+
+
 def test_hamming_matrix_basic():
     d1 = np.array([[0, 0], [0xFFFFFFFF, 0]], np.uint32)
     d2 = np.array([[0, 0], [0xFFFFFFFF, 0xFFFFFFFF]], np.uint32)
