@@ -352,3 +352,38 @@ def test_framed_ingest_resync_after_byte_loss(backend):
         assert "cam0" in ing.stats_summary()
     finally:
         ing.stop()
+
+
+@pytest.mark.parametrize("backend", ["python", "native"])
+def test_ingest_queue_drop_counter(backend):
+    """Force the bounded ingest queue's drop-oldest policy and assert the
+    per-camera drop counter reports exactly what was lost (VERDICT r3 #4:
+    the native counter was never incremented, silently under-reporting
+    losses in the fps log)."""
+    if backend == "native":
+        from video_stitcher_tpu.io_plane import native
+        if native.load() is None:
+            pytest.skip("native lib unavailable")
+    port = 16694 + (0 if backend == "python" else 1)
+    cfg = StitcherConfig(num_images=1, capture_img_width=64,
+                         capture_img_height=48, capture_tcp_port=port)
+    ing = CaptureIngest(cfg, debug_order=True, backend=backend, max_queue=2)
+    ing.start()
+    try:
+        rng = np.random.default_rng(3)
+        frames = [rng.integers(0, 255, (48, 64)).astype(np.uint8)
+                  for _ in range(7)]
+        # 7 frames into a 2-deep queue with no consumer: 5 must drop
+        _stream_frames(port, frames)
+        deadline = time.time() + 5.0
+        while time.time() < deadline and ing.stats()[0]["frames_ok"] < 7:
+            time.sleep(0.05)
+        st = ing.stats()[0]
+        assert st["frames_ok"] == 7, st
+        assert st["drops"] == 5, st
+        assert "drop=5" in ing.stats_summary()
+        # the two survivors are the NEWEST frames (drop-oldest policy)
+        np.testing.assert_array_equal(ing.pop_frame(0, 2.0), frames[5])
+        np.testing.assert_array_equal(ing.pop_frame(0, 2.0), frames[6])
+    finally:
+        ing.stop()

@@ -103,7 +103,12 @@ class StitcherConfig:
     show_out: bool = False
     send_results: bool = False
     send_height_info: bool = True
-    results_max_size: int = 0
+    #: bound on the results queue (timed.cpp:141-151 RESULTS_MAX_SIZE).
+    #: Nonzero by default: with async dispatch the results queue is what
+    #: bounds how far the stitch loop runs ahead of consumer-confirmed
+    #: completion — unbounded (0) + a slow consumer would pin pano-sized
+    #: device buffers without limit (ADVICE r3). 0 = unbounded (opt-in).
+    results_max_size: int = 4
     clear_buffers: bool = False
     #: write a jax.profiler device trace of the first trace_frames stitched
     #: frames here (TensorBoard/Perfetto readable); "" = off

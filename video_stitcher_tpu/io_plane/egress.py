@@ -17,6 +17,7 @@ import shutil
 import socket
 import struct
 import subprocess
+import threading
 import time
 from typing import Optional
 
@@ -170,6 +171,11 @@ class PlayerEgress:
         #: set by close(); send_frame raises instead of reconnecting so a
         #: consumer thread can't race a shutdown into a fresh connection
         self._closed = False
+        #: serializes connect() socket installation against close(): a
+        #: close() landing between send_frame's _closed check and
+        #: connect()'s body must not leave a fresh never-closed socket
+        #: behind (fd leak) or let one more frame out post-close
+        self._state_mu = threading.Lock()
 
     # --- connection management (timed.cpp:156-180) --------------------
     def connect(self) -> None:
@@ -183,10 +189,18 @@ class PlayerEgress:
                                           socket.SO_REUSEADDR, 1)
                 self._listener.bind(("", self.cfg.player_tcp_port))
                 self._listener.listen(1)
-            self.sock, _ = self._listener.accept()
+            sock, _ = self._listener.accept()
         else:
-            self.sock = socket.create_connection(
+            sock = socket.create_connection(
                 (self.cfg.player_address, self.cfg.player_tcp_port), timeout=10)
+        with self._state_mu:
+            if self._closed:          # close() won the race: don't leak fd
+                try:
+                    sock.close()
+                except OSError:
+                    pass
+                raise RuntimeError("egress closed")
+            self.sock = sock
         self._sent_height = False
 
     def close_socket(self) -> None:
@@ -198,7 +212,8 @@ class PlayerEgress:
             self.sock = None
 
     def close(self) -> None:
-        self._closed = True
+        with self._state_mu:
+            self._closed = True
         self.close_socket()
         if self._listener is not None:
             self._listener.close()

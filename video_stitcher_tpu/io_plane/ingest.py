@@ -57,7 +57,8 @@ class CaptureIngest:
         self.debug_order = debug_order
         self.max_queue = max_queue
         self.framing = bool(getattr(cfg, "capture_framing", False))
-        #: per-camera counters: frames_ok, resyncs, bytes_skipped, seq_gaps
+        #: per-camera counters: frames_ok, resyncs, bytes_skipped, seq_gaps,
+        #: drops (frames lost to the bounded queue's drop-oldest policy)
         self._stats = [dict(frames_ok=0, resyncs=0, bytes_skipped=0,
                             seq_gaps=0) for _ in range(self.n)]
         self._native = None
@@ -214,7 +215,11 @@ class CaptureIngest:
                 payload = bytes(pending[HEADER_BYTES:HEADER_BYTES + fb])
                 del pending[:HEADER_BYTES + fb]
                 if expect_seq is not None and seq != expect_seq:
-                    st["seq_gaps"] += (seq - expect_seq) & 0xFFFFFFFF
+                    # forward u32 diff = frames lost; a backward jump
+                    # (sender reset/rollover without reconnect) would wrap
+                    # to ~4.29e9 — count it as one reset event instead
+                    diff = (seq - expect_seq) & 0xFFFFFFFF
+                    st["seq_gaps"] += diff if diff < 0x80000000 else 1
                 expect_seq = (seq + 1) & 0xFFFFFFFF
                 self._queues[slot].push(
                     np.frombuffer(payload, np.uint8).reshape(
@@ -225,29 +230,33 @@ class CaptureIngest:
     # ------------------------------------------------------------------
     def stats(self):
         """Per-camera counters [{frames_ok, resyncs, bytes_skipped,
-        seq_gaps}] (native backend: fetched from the C++ server)."""
+        seq_gaps, drops}] (native backend: fetched from the C++ server)."""
         if self._native is not None:
             import ctypes
             out = []
             for cam in range(self.n):
-                vals = (ctypes.c_long * 4)()
+                vals = (ctypes.c_long * 5)()
                 if self._native.stitchio_stats(cam, vals) == 0:
                     out.append(dict(frames_ok=vals[0], resyncs=vals[1],
-                                    bytes_skipped=vals[2], seq_gaps=vals[3]))
+                                    bytes_skipped=vals[2], seq_gaps=vals[3],
+                                    drops=vals[4]))
                 else:
-                    out.append(dict(self._stats[cam]))
+                    out.append(dict(self._stats[cam], drops=0))
             return out
-        return [dict(s) for s in self._stats]
+        return [dict(s, drops=self._queues[i].dropped)
+                for i, s in enumerate(self._stats)]
 
     def stats_summary(self) -> str:
         s = self.stats()
-        drops = sum(x["resyncs"] + x["seq_gaps"] for x in s)
-        if drops == 0:
+        bad = sum(x["resyncs"] + x["seq_gaps"] + x["drops"] for x in s)
+        if bad == 0:
             return "ingest ok"
         return "ingest " + " ".join(
             f"cam{i}:ok={x['frames_ok']},rs={x['resyncs']},"
-            f"skip={x['bytes_skipped']}B,gap={x['seq_gaps']}"
-            for i, x in enumerate(s) if x["resyncs"] or x["seq_gaps"])
+            f"skip={x['bytes_skipped']}B,gap={x['seq_gaps']},"
+            f"drop={x['drops']}"
+            for i, x in enumerate(s)
+            if x["resyncs"] or x["seq_gaps"] or x["drops"])
 
     # ------------------------------------------------------------------
     def pop_frame(self, cam: int, timeout: Optional[float] = None

@@ -20,6 +20,9 @@ class FrameQueue:
         self.max_size = max_size
         self.drop_oldest = drop_oldest
         self._closed = False
+        #: items lost to the drop-oldest policy (telemetry; the native
+        #: FrameQueue keeps the same counter)
+        self.dropped = 0
 
     def push(self, item: Any, block: bool = False) -> bool:
         """block=True waits for space when full (backpressure for the
@@ -34,6 +37,7 @@ class FrameQueue:
                 return False
             if self.max_size and len(self._q) >= self.max_size:
                 self._q.popleft()                  # drop_oldest
+                self.dropped += 1
             self._q.append(item)
             self._cv.notify_all()
             return True

@@ -45,10 +45,17 @@ class FrameQueue {
 
     void push(std::vector<uint8_t>&& data) {
         std::unique_lock<std::mutex> lk(mu_);
-        if (max_size_ && q_.size() >= max_size_) q_.pop_front();
+        if (max_size_ && q_.size() >= max_size_) {
+            q_.pop_front();
+            ++dropped_;          // drop-oldest fired: the consumer lost one
+        }
         q_.push_back(Frame{std::move(data)});
-        dropped_ += 0;
         cv_.notify_one();
+    }
+
+    long dropped() {
+        std::unique_lock<std::mutex> lk(mu_);
+        return static_cast<long>(dropped_);
     }
 
     // Returns true and fills out if a frame arrived within timeout_ms
@@ -167,12 +174,13 @@ class CaptureServer {
 
     int clientsConnected() { return clients_.load(); }
 
-    bool getStats(int cam, long out[4]) {
+    bool getStats(int cam, long out[5]) {
         if (cam < 0 || cam >= num_cams_) return false;
         out[0] = stats_[cam].frames_ok.load();
         out[1] = stats_[cam].resyncs.load();
         out[2] = stats_[cam].bytes_skipped.load();
         out[3] = stats_[cam].seq_gaps.load();
+        out[4] = queues_[cam]->dropped();
         return true;
     }
 
@@ -262,9 +270,15 @@ class CaptureServer {
                 }
                 if (pending.size() < kHeaderBytes + frame_bytes_) break;
                 in_desync = false;
-                if (have_seq && seq != expect_seq)
+                if (have_seq && seq != expect_seq) {
+                    // forward u32 diff = frames lost in transit; a BACKWARD
+                    // jump (sender firmware reset / counter rollover without
+                    // a reconnect) would wrap to ~4.29e9 and poison the
+                    // counter — treat it as one resync-style event instead
+                    uint32_t diff = seq - expect_seq;
                     st.seq_gaps.fetch_add(
-                        static_cast<long>(seq - expect_seq));
+                        diff < 0x80000000u ? static_cast<long>(diff) : 1L);
+                }
                 expect_seq = seq + 1;
                 have_seq = true;
                 std::vector<uint8_t> frame(
@@ -370,7 +384,7 @@ int stitchio_clients(void) {
     return g_server ? g_server->clientsConnected() : -1;
 }
 
-// out[4] = {frames_ok, resyncs, bytes_skipped, seq_gaps}
+// out[5] = {frames_ok, resyncs, bytes_skipped, seq_gaps, queue_drops}
 int stitchio_stats(int cam, long* out) {
     if (!g_server) return -1;
     return g_server->getStats(cam, out) ? 0 : -2;

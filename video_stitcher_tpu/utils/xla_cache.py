@@ -32,6 +32,13 @@ def cache_dir() -> str:
 def enable(writeable: bool = True) -> str:
     """Point jax's persistent compilation cache at the shipped cache.
 
+    writeable=False reads the shipped entries but effectively never
+    writes new ones (the write threshold is set beyond any real compile
+    time) — for read-mostly consumers that must not grow the checked-in
+    cache with environment-specific blobs (ADVICE r3). New entries under
+    the repo cache are .gitignore'd either way; priming uses
+    ``git add -f`` (see --prime).
+
     Returns the directory used. Safe to call multiple times / after jax
     initialized (config updates apply to subsequent compiles).
     """
@@ -39,7 +46,8 @@ def enable(writeable: bool = True) -> str:
     d = cache_dir()
     try:
         jax.config.update("jax_compilation_cache_dir", d)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5 if writeable else 1e9)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
