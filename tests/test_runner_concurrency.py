@@ -10,6 +10,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(__file__))
 
@@ -18,12 +19,14 @@ from video_stitcher_tpu.pipeline.runner import Runner
 from video_stitcher_tpu.pipeline.stitcher import Stitcher
 
 
-def test_runner_recalib_swap_concurrency(tmp_path, monkeypatch):
+@pytest.mark.parametrize("mode", ["inline", "threaded"])
+def test_runner_recalib_swap_concurrency(tmp_path, monkeypatch, mode):
     monkeypatch.chdir(tmp_path)
     cfg = StitcherConfig(num_images=6, input_width=320, input_height=180,
                          recalibrate=True, enable_local=True,
                          recalib_interp=True, recalib_del_ms=100,
                          visualize_matches=True, visualize_mesh=True,
+                         pipeline_mode=mode,
                          viz_dir=str(tmp_path / "viz"))
 
     runner_box = []
@@ -290,16 +293,25 @@ def test_runner_shallow_queue_latency_mode(tmp_path, monkeypatch):
     configuration (bench.py's runner latency phase): at most one staged
     frame set and one undelivered result are ever in flight, so a frame's
     staged->done latency measures the product, not queue occupancy.
-    Verifies the knob reaches the queue and the run completes."""
+    Verifies the knob reaches the queue and the run completes — in both
+    pipeline modes (the inline loop's ring depth is results_max_size)."""
     import dataclasses
     monkeypatch.chdir(tmp_path)
-    cfg = dataclasses.replace(
-        StitcherConfig(num_images=6, input_width=320, input_height=180,
-                       recalibrate=False, enable_local=False),
-        results_max_size=1, clear_buffers=False)
+    base = StitcherConfig(num_images=6, input_width=320, input_height=180,
+                          recalibrate=False, enable_local=False)
+    cfg = dataclasses.replace(base, results_max_size=1, clear_buffers=False,
+                              pipeline_mode="threaded")
     r = Runner(cfg, max_frames=6, consume_device=True,
                collect_latency=True, staging_depth=1)
     r.run()
     assert r._staged.max_size == 1
     assert r.frames_done == 6
     assert len(r.latencies) >= 5 and all(l > 0 for l in r.latencies)
+
+    cfg2 = dataclasses.replace(base, results_max_size=1,
+                               pipeline_mode="inline")
+    r2 = Runner(cfg2, max_frames=6, consume_device=True,
+                collect_latency=True)
+    r2.run()
+    assert r2.frames_done == 6
+    assert len(r2.latencies) == 6 and all(l > 0 for l in r2.latencies)

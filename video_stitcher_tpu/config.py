@@ -103,6 +103,12 @@ class StitcherConfig:
     show_out: bool = False
     send_results: bool = False
     send_height_info: bool = True
+    #: Runner pipeline shape: "inline" = one host thread (acquire ->
+    #: stage -> dispatch -> consume over an in-flight ring; async dispatch
+    #: provides the overlap), "threaded" = reference-shaped 3-stage thread
+    #: pipeline, "auto" = inline on small hosts / light consumption (see
+    #: pipeline/runner.py module docstring)
+    pipeline_mode: str = "auto"
     #: bound on the results queue (timed.cpp:141-151 RESULTS_MAX_SIZE).
     #: Nonzero by default: with async dispatch the results queue is what
     #: bounds how far the stitch loop runs ahead of consumer-confirmed

@@ -1,10 +1,29 @@
 """Live pipeline runner — the reference main() (360_stitcher/timed.cpp:465-629)
-as a 3-stage host pipeline around the jitted stitch step:
+around the jitted stitch step, plus an async recalibration job re-solving
+the CPW mesh every recalib_del_ms and hot-swapping the CalibState
+(timed.cpp:414-463) — an atomic pytree replacement instead of mesh mutexes.
 
-  ingest (TCP NV12 / video files / synthetic)  ->  stitch loop  ->  consumer
-plus an async recalibration job re-solving the CPW mesh every
-recalib_del_ms and hot-swapping the CalibState (timed.cpp:414-463) — an
-atomic pytree replacement instead of mesh mutexes.
+Two pipeline modes (cfg.pipeline_mode, default "auto"):
+
+* "inline" — ONE host thread runs acquire -> stage -> dispatch -> consume
+  over a small ring of in-flight frames. JAX dispatch is asynchronous, so
+  a single thread already overlaps host work with device compute: frame
+  t's H2D/dispatch happens while t-1..t-depth are still computing, and
+  consuming frame t-depth (the D2H download) is what waits. The
+  reference needed three threads because its ops block; ours don't —
+  and on a 1-core host the thread pipeline's queue handoffs + GIL
+  context switches measured ~13 ms/frame of pure overhead (45.65 fps
+  runner vs 119.7 fps step, BENCH_r03), which the inline loop deletes.
+  TCP ingest still overlaps: the native CaptureServer's recv threads
+  are C++ (no GIL).
+
+* "threaded" — the reference-shaped 3-stage pipeline (staging thread ->
+  stitch loop -> consumer thread, bounded queues). Overlaps host-heavy
+  consumption (full-res JPEG/HEVC encode, egress) with dispatch on
+  multi-core hosts.
+
+"auto" picks inline on small hosts (<= 2 cores) or when consumption is
+light, threaded otherwise.
 
 Run: python -m video_stitcher_tpu.pipeline.runner --config cfg.json
 """
@@ -64,6 +83,10 @@ class Runner:
         self.done_ts: list = []
         #: perf_counter stamps of successful mesh installs (cadence proof)
         self.recalib_ts: list = []
+        #: per-swap milliseconds spent inside swap_state during interp
+        #: animations (lock hold + reshard) — attributes swap-window
+        #: stalls separately from solve contention (VERDICT r3 #8)
+        self.swap_ms: list = []
         self.results = FrameQueue(max_size=cfg.results_max_size,
                                   drop_oldest=cfg.clear_buffers)
         self._latest_frames: Optional[np.ndarray] = None
@@ -74,6 +97,8 @@ class Runner:
         self.frames_done = 0
         self.recalibs_done = 0
         self._last_recalib_t = 0.0
+        self._first_frame = True
+        self._consumed = 0
 
     # --- source -------------------------------------------------------
     def _make_source(self):
@@ -150,75 +175,80 @@ class Runner:
                         for k in range(1, steps):
                             if self._stop.is_set():
                                 break
+                            t_s = time.perf_counter()
                             self.stitcher.swap_state(
                                 self.stitcher.interpolate_states(
                                     old_state, new_state, k / (steps - 1)))
+                            self.swap_ms.append(
+                                (time.perf_counter() - t_s) * 1e3)
                             time.sleep(0.03)
                         self.stitcher.swap_state(new_state)
             except Exception as e:          # recalib must never kill the loop
                 log.warning("recalibration failed: %s", e)
 
     # --- consumer (timed.cpp:182-383) -----------------------------------
-    def _consume_loop(self):
+    def _consume_one(self, item):
+        """Consume one stitched frame (shared by the inline loop and the
+        threaded consumer): force/await completion, latency stamps,
+        one-time calib.jpg/result.jpg, sink/show/egress, fps meter."""
         cfg = self.cfg
-        first = True
+        out_dev, first_frames, t_staged = item
+        if self.consume_device:
+            # force completion without the full-frame download
+            self._consumed += 1
+            if self._consumed % self.sync_every == 0:
+                np.asarray(out_dev.ravel()[:4])
+            out = out_dev
+        else:
+            out = self.stitcher.finalize_out(out_dev)
+        if self.collect_latency and t_staged is not None:
+            now = time.perf_counter()
+            self.latencies.append(now - t_staged)
+            self.done_ts.append(now)
+        if self._first_frame and not self.consume_device:
+            try:
+                import cv2
+                if first_frames is not None:
+                    # one-time full-res pano dump (timed.cpp:255);
+                    # rendered HERE so its (one-off) program compiles
+                    # off the hot loop's first dispatch
+                    pano = self.stitcher.stitch(first_frames)
+                    cv2.imwrite("calib.jpg", np.asarray(pano)[..., ::-1])
+                cv2.imwrite("result.jpg", out[..., ::-1])
+            except Exception:
+                pass
+            if cfg.save_video and self.sink is None:
+                from video_stitcher_tpu.io_plane.video import VideoFileSink
+                self.sink = VideoFileSink("stitched.avi", out.shape[1],
+                                          out.shape[0])
+        self._first_frame = False
+        if self.sink is not None:
+            self.sink.write(out)
+        if cfg.show_out:
+            from video_stitcher_tpu.utils import viz
+            viz.show(out, title="pano", wait_ms=1)   # timed.cpp:365-369
+        if self.egress is not None or cfg.send_results:
+            if self.egress is None:
+                from video_stitcher_tpu.io_plane.egress import PlayerEgress
+                self.egress = PlayerEgress(cfg)
+            try:
+                self.egress.send_frame(out)
+            except Exception as e:
+                log.warning("egress failed: %s", e)
+        fps = self.fps.tick()
+        if fps is not None:
+            ing = getattr(self, "_ingest", None)
+            log.info("fps: %.2f (%s)%s", fps, self.timers.summary(),
+                     " [" + ing.stats_summary() + "]" if ing else "")
+
+    def _consume_loop(self):
         while True:
             item = self.results.pop(timeout=1.0)
             if item is None:
                 if self._stop.is_set():
                     break
                 continue
-            out_dev, first_frames, t_staged = item
-            if self.consume_device:
-                # force completion without the full-frame download
-                self._consumed = getattr(self, "_consumed", 0) + 1
-                if self._consumed % self.sync_every == 0:
-                    np.asarray(out_dev.ravel()[:4])
-                out = out_dev
-            else:
-                out = self.stitcher.finalize_out(out_dev)
-            if self.collect_latency and t_staged is not None:
-                now = time.perf_counter()
-                self.latencies.append(now - t_staged)
-                self.done_ts.append(now)
-            if first and self.consume_device:
-                first = False
-            if first:
-                try:
-                    import cv2
-                    if first_frames is not None:
-                        # one-time full-res pano dump (timed.cpp:255);
-                        # rendered HERE so its (one-off) program compiles
-                        # in the consumer thread, not on the hot loop's
-                        # first frame
-                        pano = self.stitcher.stitch(first_frames)
-                        cv2.imwrite("calib.jpg", np.asarray(pano)[..., ::-1])
-                    cv2.imwrite("result.jpg", out[..., ::-1])
-                except Exception:
-                    pass
-                if cfg.save_video and self.sink is None:
-                    from video_stitcher_tpu.io_plane.video import VideoFileSink
-                    self.sink = VideoFileSink("stitched.avi", out.shape[1],
-                                              out.shape[0])
-                first = False
-            if self.sink is not None:
-                self.sink.write(out)
-            if cfg.show_out:
-                from video_stitcher_tpu.utils import viz
-                viz.show(out, title="pano", wait_ms=1)   # timed.cpp:365-369
-            if self.egress is not None or cfg.send_results:
-                if self.egress is None:
-                    from video_stitcher_tpu.io_plane.egress import PlayerEgress
-                    self.egress = PlayerEgress(cfg)
-                try:
-                    self.egress.send_frame(out)
-                except Exception as e:
-                    log.warning("egress failed: %s", e)
-            fps = self.fps.tick()
-            if fps is not None:
-                ing = getattr(self, "_ingest", None)
-                log.info("fps: %.2f (%s)%s", fps, self.timers.summary(),
-                         " [" + ing.stats_summary() + "]" if ing else "")
+            self._consume_one(item)
 
     # --- staging (double-buffered H2D) ----------------------------------
     _EOF = object()
@@ -256,6 +286,76 @@ class Runner:
             return np.asarray(jax.vmap(nv12_to_rgb)(np.asarray(frames))
                               ).astype(np.uint8)
 
+    # --- pipeline-mode choice -------------------------------------------
+    def _use_inline(self) -> bool:
+        mode = getattr(self.cfg, "pipeline_mode", "auto")
+        if mode in ("inline", "threaded"):
+            return mode == "inline"
+        # auto: a small host loses more to queue handoffs + GIL context
+        # switches than it gains from overlap; heavy consumption (full-res
+        # encode + egress/sink) on a multi-core host wants the consumer
+        # thread
+        import os
+        if (os.cpu_count() or 1) <= 2:
+            return True
+        heavy = (not self.consume_device
+                 and (self.sink is not None or self.cfg.save_video
+                      or self.cfg.send_results or self.egress is not None
+                      or self.cfg.show_out))
+        return not heavy
+
+    # --- inline pipelined loop (single host thread) -----------------------
+    def _run_inline(self, source) -> None:
+        """acquire -> stage -> dispatch -> consume(t - depth), one thread.
+
+        The in-flight ring is what bounds how far async dispatch runs
+        ahead of completion: consuming a frame downloads (or syncs) it,
+        which waits for the device. Ring depth = cfg.results_max_size
+        (like the threaded results queue); in consume_device bench mode
+        only every sync_every-th consume syncs, so the effective bound is
+        max(depth, sync_every) frames in flight."""
+        import collections
+        cfg = self.cfg
+        depth = max(1, cfg.results_max_size or 4)
+        ring = collections.deque()
+        tracing = False
+        while not self._stop.is_set():
+            with self.timers.time("acquire"):
+                frames = source.get_frames()
+            if frames is None:
+                log.info("source exhausted")
+                break
+            with self.timers.time("upload"):
+                dev = self.stitcher.stage_frames(frames)
+            t_staged = time.perf_counter()
+            with self._latest_lock:
+                self._latest_frames = dev
+            if (cfg.trace_dir and not tracing
+                    and self.frames_done == 1):     # skip the compile frame
+                from video_stitcher_tpu.utils.trace import start_device_trace
+                start_device_trace(cfg.trace_dir)
+                tracing = True
+            elif tracing and self.frames_done >= cfg.trace_frames + 1:
+                from video_stitcher_tpu.utils.trace import stop_device_trace
+                stop_device_trace()
+                tracing = False
+                log.info("device trace written to %s", cfg.trace_dir)
+            with self.timers.time("stitch"):
+                out = self.stitcher.stitch_out(dev, device=True)
+            ring.append((out, dev if self.frames_done == 0 else None,
+                         t_staged))
+            self.frames_done += 1
+            if len(ring) >= depth:
+                with self.timers.time("output"):
+                    self._consume_one(ring.popleft())
+            if self.max_frames and self.frames_done >= self.max_frames:
+                break
+        while ring:
+            self._consume_one(ring.popleft())
+        if tracing:
+            from video_stitcher_tpu.utils.trace import stop_device_trace
+            stop_device_trace()
+
     # --- main loop -------------------------------------------------------
     def run(self) -> None:
         cfg = self.cfg
@@ -266,6 +366,21 @@ class Runner:
         t0 = time.perf_counter()
         self.stitcher.calibrate(self._to_rgb_host(frames))
         log.info("Calibration done in: %.0f ms", (time.perf_counter() - t0) * 1e3)
+
+        if self._use_inline():
+            recalib = threading.Thread(target=self._recalib_loop, daemon=True)
+            recalib.start()
+            try:
+                self._run_inline(source)
+            finally:
+                self._stop.set()
+                recalib.join(timeout=5)
+                source.release()
+                if self.sink is not None:
+                    self.sink.release()
+                if self.egress is not None:
+                    self.egress.close()
+            return
 
         self._staged = FrameQueue(max_size=self.staging_depth,
                                   drop_oldest=False)
