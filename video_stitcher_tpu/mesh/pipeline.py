@@ -372,6 +372,30 @@ class MeshPipeline:
                 matches.append(None)
                 continue
             sel = np.where(ok)[0]
+            # consensus trim on the (x, y) deviation from the rig target:
+            # RANSAC only gates seams with >= 8 matches, so on a sparse
+            # seam a single gross mismatch drags the whole mesh (measured:
+            # one 194 px outlier among 4 matches warped the mesh ~150 px
+            # at test scale — and with 2 outliers of 3 matches a median/MAD
+            # trim keeps them). Correct matches agree with each other to
+    	    # within the local parallax scale; gross mismatches scatter.
+            # Keep the largest mutually-consistent cluster. Beyond the
+            # reference (meshwarper.cpp:930-941 stops at the fixed
+            # X_DIST_SLACK), which ships the outliers into the solve.
+            xdev_s = (p1[sel, 0] - p2[sel, 0]) - target
+            ydev_s = p1[sel, 1] - p2[sel, 1]
+            tol = max(15.0, 0.02 * self.solver.bw)
+            dd = (np.abs(xdev_s[:, None] - xdev_s[None, :])
+                  + np.abs(ydev_s[:, None] - ydev_s[None, :]))
+            support = (dd <= tol).sum(1)
+            if support.max() < 2:
+                # a lone match corroborates nothing — one gross mismatch
+                # with alpha_local=1 drags the seam's mesh by its full
+                # error (measured 168 px); the global term holds the seam
+                # at rest instead
+                matches.append(None)
+                continue
+            sel = sel[dd[np.argmax(support)] <= tol]
             order = np.argsort(dist[sel])[:cfg.max_features_per_image]
             sel = sel[order]
             matches.append(CamMatches(p1=p1[sel], p2=p2[sel],
