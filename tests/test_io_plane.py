@@ -387,3 +387,87 @@ def test_ingest_queue_drop_counter(backend):
         np.testing.assert_array_equal(ing.pop_frame(0, 2.0), frames[6])
     finally:
         ing.stop()
+
+
+def test_runner_framed_ingest_fault_recovery(tmp_path, monkeypatch):
+    """VERDICT r3 #9: the PRODUCT loop (Runner + TCP ingest server) with
+    the framed capture protocol, byte corruption injected mid-stream. The
+    runner must keep producing stitched frames after the fault and the
+    ingest counters must record the resync — the reference's raw protocol
+    (networking.cpp:15-65) shears every frame after a lost byte, forever.
+    Unit tests cover the framer; this covers the full loop."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_stitch_e2e import make_scene, render_views
+    from video_stitcher_tpu.calib.calibration import plan_geometry
+    from video_stitcher_tpu.io_plane.ingest import pack_frame
+    from video_stitcher_tpu.ops.color import rgb_to_nv12
+    from video_stitcher_tpu.pipeline.runner import Runner
+    from video_stitcher_tpu.utils.hostdev import host_eager
+
+    monkeypatch.chdir(tmp_path)
+    port = 16697
+    cfg = StitcherConfig(num_images=2, input_width=320, input_height=180,
+                         enable_local=False, recalibrate=False,
+                         use_stream=True, capture_framing=True,
+                         capture_tcp_port=port, capture_img_width=320,
+                         capture_img_height=270)
+    geom, _ = plan_geometry(cfg)
+    rng = np.random.default_rng(5)
+    scene = make_scene(geom.layout.pano_w, geom.layout.pano_h, rng)
+    frames = render_views(cfg, geom, scene)
+    with host_eager():
+        nv12 = np.stack([np.asarray(rgb_to_nv12(f)) for f in frames])
+
+    n_frames = 24
+    fault_at = 8
+    stop = threading.Event()
+    faulted = threading.Event()
+    connected = [threading.Event() for _ in range(cfg.num_images + 1)]
+    connected[0].set()
+
+    def board(cam):
+        connected[cam].wait(timeout=120)
+        s = None
+        for _ in range(600):
+            try:
+                s = socket.create_connection(("127.0.0.1", port), timeout=5)
+                break
+            except OSError:
+                time.sleep(0.1)
+        time.sleep(0.2)
+        connected[cam + 1].set()
+        assert s is not None
+        payload = nv12[cam].tobytes()
+        seq = 0
+        try:
+            while not stop.is_set():
+                s.sendall(pack_frame(payload, seq))
+                if seq == fault_at:
+                    s.sendall(b"\x7f" * 1333)      # mid-stream corruption
+                    faulted.set()
+                seq += 1
+                time.sleep(0.03)
+        except OSError:
+            pass
+        finally:
+            s.close()
+
+    boards = [threading.Thread(target=board, args=(c,), daemon=True)
+              for c in range(cfg.num_images)]
+    for t in boards:
+        t.start()
+    r = Runner(cfg, max_frames=n_frames, consume_device=True)
+    try:
+        r.run()
+    finally:
+        stop.set()
+    assert faulted.is_set(), "fault was never injected"
+    assert r.frames_done >= n_frames, (
+        f"runner stalled after fault: {r.frames_done}/{n_frames}")
+    stats = r._ingest.stats()
+    total_resyncs = sum(s["resyncs"] for s in stats)
+    total_skipped = sum(s["bytes_skipped"] for s in stats)
+    assert total_resyncs >= 1, stats
+    assert total_skipped >= 1333, stats

@@ -97,6 +97,13 @@ class CaptureIngest:
 
     def stop(self) -> None:
         if self._native is not None:
+            # snapshot counters into the Python-side store first: the C++
+            # server's stats die with it, but end-of-run summaries (and
+            # tests) read them after release()
+            for cam, s in enumerate(self.stats()):
+                self._stats[cam].update(
+                    {k: v for k, v in s.items() if k != "drops"})
+                self._stats[cam]["drops"] = s["drops"]
             self._native.stitchio_stop_server()
             self._native = None
             return
@@ -243,7 +250,9 @@ class CaptureIngest:
                 else:
                     out.append(dict(self._stats[cam], drops=0))
             return out
-        return [dict(s, drops=self._queues[i].dropped)
+        # python backend: drops live on the queues; post-stop native
+        # backend: drops were snapshotted into _stats by stop()
+        return [dict(s, drops=s.get("drops", 0) + self._queues[i].dropped)
                 for i, s in enumerate(self._stats)]
 
     def stats_summary(self) -> str:
