@@ -320,24 +320,26 @@ def test_hevc_pipeline_integrity_and_reconnect(tmp_path, monkeypatch):
         player.stop()
 
 
-@pytest.mark.skipif(shutil.which("kvazaar") is None
-                    and shutil.which("ffmpeg") is None,
-                    reason="no real HEVC encoder in this env (documented "
-                           "in README); fake-encoder pipeline test above "
-                           "covers everything but the codec")
 def test_hevc_real_roundtrip_psnr(tmp_path):
-    """With a real encoder present: encode via the egress path, decode
-    back with cv2 (avcodec hevc decoder), PSNR >= 30 dB."""
+    """Real-codec roundtrip through the egress encoder selection: encode
+    with whatever the 'hevc' mode would pick (kvazaar/ffmpeg subprocess
+    when present, otherwise the built-in I_PCM encoder), decode back
+    with cv2's INDEPENDENT avcodec hevc decoder, PSNR >= 30 dB (the
+    I_PCM path is lossless, so it lands at inf)."""
     import cv2
 
-    from video_stitcher_tpu.io_plane.egress import HevcEncoder
     from video_stitcher_tpu.ops.color import rgb_to_i420
 
     h, w = 64, 96
     rng = np.random.default_rng(2)
     base = (rng.random((h, w, 3)) * 127).astype(np.uint8)
     frames = [np.roll(base, 2 * i, axis=1) for i in range(8)]
-    enc = HevcEncoder(w, h)
+    if shutil.which("kvazaar") or shutil.which("ffmpeg"):
+        from video_stitcher_tpu.io_plane.egress import HevcEncoder
+        enc = HevcEncoder(w, h)
+    else:
+        from video_stitcher_tpu.io_plane import hevc_pcm
+        enc = hevc_pcm.create(w, h)
     out = b""
     for f in frames:
         out += enc.encode(np.asarray(rgb_to_i420(f)).tobytes())
@@ -345,10 +347,12 @@ def test_hevc_real_roundtrip_psnr(tmp_path):
     path = tmp_path / "stream.h265"
     path.write_bytes(out)
     cap = cv2.VideoCapture(str(path))
+    cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)   # raw luma: no color-convert loss
     ok, dec = cap.read()
     assert ok, "cv2 could not decode the emitted stream"
-    dec = dec[..., ::-1]
-    err = np.mean((dec.astype(np.float64) - frames[0]) ** 2)
+    y_ref = np.asarray(rgb_to_i420(frames[0])).reshape(-1)[:w * h]
+    y_dec = np.asarray(dec).reshape(-1)[:w * h]
+    err = np.mean((y_dec.astype(np.float64) - y_ref) ** 2)
     psnr = 10 * np.log10(255.0 ** 2 / max(err, 1e-9))
     assert psnr >= 30, f"roundtrip PSNR {psnr:.1f} dB"
     cap.release()

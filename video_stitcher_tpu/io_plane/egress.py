@@ -4,9 +4,10 @@ Replaces the consumer's network path (360_stitcher/timed.cpp:156-352):
 height prelude once (the player places the image on its sphere), encoded
 frames streamed over TCP, reconnect-on-failure with encoder reopen.
 
-The reference links kvazaar for HEVC; this environment has no HEVC encoder,
-so encoding is pluggable:
-  * "hevc"  — kvazaar or ffmpeg subprocess when available (gated)
+The reference links kvazaar for HEVC; encoding here is pluggable:
+  * "hevc"  — kvazaar or ffmpeg subprocess when available; otherwise the
+              built-in spec-compliant I_PCM encoder (io_plane/hevc_pcm.py,
+              lossless, always available)
   * "mjpeg" — cv2.imencode JPEG per frame (always available)
   * "raw"   — raw I420 bytes (device-converted via ops/color.rgb_to_i420)
 """
@@ -237,9 +238,15 @@ class PlayerEgress:
             from video_stitcher_tpu.ops.color import rgb_to_i420
             return np.asarray(rgb_to_i420(frame_rgb)).tobytes()
         # hevc subprocess with reader thread + Annex-B unit framing; may
-        # legitimately return b"" while the encoder's lookahead fills
+        # legitimately return b"" while the encoder's lookahead fills.
+        # With no encoder binary in the image, the built-in I_PCM encoder
+        # takes over (same duck type; synchronous, lossless).
         if self._enc is None:
-            self._enc = HevcEncoder(w, h)
+            try:
+                self._enc = HevcEncoder(w, h)
+            except RuntimeError:
+                from video_stitcher_tpu.io_plane import hevc_pcm
+                self._enc = hevc_pcm.create(w, h)
         from video_stitcher_tpu.ops.color import rgb_to_i420
         return self._enc.encode(np.asarray(rgb_to_i420(frame_rgb)).tobytes())
 

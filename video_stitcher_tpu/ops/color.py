@@ -101,6 +101,13 @@ def rgb_to_i420(rgb):
     u2 = u[0::2, 0::2]
     v2 = v[0::2, 0::2]
     yp = jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)
-    up = jnp.clip(jnp.round(u2), 0, 255).astype(jnp.uint8).reshape(h // 4, w)
-    vp = jnp.clip(jnp.round(v2), 0, 255).astype(jnp.uint8).reshape(h // 4, w)
-    return jnp.concatenate([yp, up, vp], axis=0)
+    up = jnp.clip(jnp.round(u2), 0, 255).astype(jnp.uint8)
+    vp = jnp.clip(jnp.round(v2), 0, 255).astype(jnp.uint8)
+    # I420 is a FLAT buffer (y then u then v); the 2-D [H*3/2, W] view is
+    # just cv2's Mat shape. Packing each chroma plane into width-W rows
+    # separately (the old code) required h % 4 == 0 and broke on real
+    # pano heights like 1170 — with odd chroma-row counts the U plane
+    # legitimately ends mid-row and V starts there.
+    flat = jnp.concatenate(
+        [yp.reshape(-1), up.reshape(-1), vp.reshape(-1)])
+    return flat.reshape(h * 3 // 2, w)
