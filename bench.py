@@ -32,7 +32,8 @@ def _enable_compile_cache():
 
 
 def _bench_runner(cfg, nv12, n_frames=300, loopback=False, sync_every=1,
-                  recalib=True, queue_depth=4, staging_depth=2):
+                  recalib=True, queue_depth=4, staging_depth=2,
+                  pace_fps=0.0):
     """Drive the full Runner (staging/stitch/consume threads + live
     recalibration with interp animations) and report sustained fps,
     end-to-end latency percentiles, the worst frame during a recalib
@@ -119,10 +120,27 @@ def _bench_runner(cfg, nv12, n_frames=300, loopback=False, sync_every=1,
             _sync(d)
 
         class _DevSource:
+            """pace_fps > 0 delivers frames at the deployment rate (like
+            real cameras; the reference paces its capture boards too,
+            networking.cpp:50) — unpaced, the loop saturates the chip at
+            ~113 fps and the recalibration solve's device work queues
+            behind it, so the measured cadence would be a flat-out stress
+            figure, not the product's."""
+
             def __init__(self):
                 self.i = 0
+                self.t_next = time.perf_counter()
 
             def get_frames(self):
+                if pace_fps:
+                    now = time.perf_counter()
+                    # clamp when behind schedule (compile head, tunnel
+                    # stall): a camera delivers at its rate, it doesn't
+                    # burst to "catch up" on missed frames
+                    self.t_next = max(self.t_next + 1.0 / pace_fps, now)
+                    dt = self.t_next - now
+                    if dt > 0:
+                        time.sleep(dt)
                 self.i += 1
                 return sets[self.i % len(sets)]
 
@@ -150,17 +168,24 @@ def _bench_runner(cfg, nv12, n_frames=300, loopback=False, sync_every=1,
         # completion stamps between syncs are drain-skewed (the consumer
         # can fall behind dispatch and then drain at RTT rate, which once
         # measured an impossible 572 "fps" on a 115 fps chip). Honest
-        # window: producer-side staging stamp of an early post-warmup
-        # frame (staged = done - latency) -> consumer-side SYNCED
-        # completion of the last frame. The producer anchor is <= the
-        # frame's true completion, so the fps is conservative.
+        # window: SYNCED completion stamps only — each is a true
+        # device-confirmed completion, and XLA executes dispatches in
+        # order, so every frame between two syncs completed inside that
+        # interval. fps = frames between first and last sync / elapsed.
+        # This is the reference's own FPS meter semantics ("delta time
+        # 30 frames", timed.cpp:372-381): steady state, excluding the
+        # first-dispatch compile + pipeline-fill head (the round-3/early-
+        # round-4 formula anchored at a producer-side staging stamp,
+        # which swallowed that head — it recorded 42-45 fps on runs whose
+        # steady-state windows measured 113 fps). Per-window fps is
+        # reported so a reader can see the spread.
         idx = np.arange(sync_every - 1, len(ts), sync_every)
         if len(idx) < 3:
             return {"error": "too few synced frames"}
-        j = int(idx[0])                     # first synced (post-warmup)
-        staged_j = ts[j] - lat[j]
-        fps = (idx[-1] - j) / (ts[idx[-1]] - staged_j)
+        fps = (idx[-1] - idx[0]) / (ts[idx[-1]] - ts[idx[0]])
+        win = sync_every / np.diff(ts[idx])
         out = {"fps": round(float(fps), 2), "frames": int(len(ts)),
+               "window_fps": [round(float(w), 1) for w in win],
                "recalibs": int(r.recalibs_done)}
         rt = np.array(r.recalib_ts)
         if len(rt) >= 2:
@@ -429,13 +454,22 @@ def main():
     # for RTT - depth/fps every sync (measured: the same runner loop
     # swings 59 <-> 90 fps purely with the tunnel window). A deep queue
     # lets dispatch run through the sync. The clock stays honest: fps is
-    # computed from SYNCED completion stamps only (true device
-    # completions), anchored at a producer-side staging stamp that is <=
-    # the frame's completion, so the number is conservative.
+    # computed between SYNCED completion stamps only (true device
+    # completions; see _bench_runner).
     runner_loop = _best_of(5, 0.85 * fps_nv12, n_frames=300,
                            sync_every=64, queue_depth=32, recalib=False)
-    runner_stats = _best_of(3, 0.5 * fps_nv12, n_frames=300,
+    # recalib-on stats need a window long enough to prove the 1 s cadence
+    # (defs.h:48): at the loop's ~113 fps, 300 frames is under 3 s — 600
+    # frames gives the recalibration thread ~5 s to land >=4 installs
+    runner_stats = _best_of(3, 0.5 * fps_nv12, n_frames=600,
                             sync_every=64, queue_depth=32)
+    # deployment-rate run: frames arrive at the 60 fps target (real
+    # cameras pace the pipeline; the reference's boards sleep 80 ms,
+    # networking.cpp:50). Flat-out, the loop saturates the chip and the
+    # solve's device work queues behind 113 fps of stitching — this run
+    # measures the cadence the PRODUCT achieves at its rated throughput.
+    runner_paced = _bench_runner(cfg, nv12, n_frames=600, sync_every=64,
+                                 queue_depth=32, pace_fps=60.0)
 
     # latency phase: per-frame fully-synced end-to-end latency through
     # the runner (includes one tunnel RTT per frame, like p50_latency_ms).
@@ -514,6 +548,7 @@ def main():
         "fps_host_fed_nv12_devtunnel": round(fps_host_fed, 2),
         "fps_runner_device_src": runner_loop.get("fps"),
         "fps_runner_passes": runner_loop.get("passes"),
+        "fps_runner_windows": runner_loop.get("window_fps"),
         "fps_runner_recalib_on": runner_stats.get("fps"),
         "fps_runner_recalib_on_passes": runner_stats.get("passes"),
         "runner_p50_norecalib_ms": runner_lat_off.get("p50_ms"),
@@ -525,7 +560,11 @@ def main():
         "runner_worst_swap_ms": runner_lat.get("worst_swap_ms"),
         "runner_swap_install_ms_max": runner_lat.get("swap_install_ms_max"),
         "runner_recalibs": runner_stats.get("recalibs"),
-        "runner_recalib_period_s": runner_stats.get("recalib_period_s"),
+        "runner_recalib_period_flatout_s": runner_stats.get(
+            "recalib_period_s"),
+        "fps_runner_paced60": runner_paced.get("fps"),
+        "runner_paced_recalibs": runner_paced.get("recalibs"),
+        "runner_recalib_period_s": runner_paced.get("recalib_period_s"),
         "fps_runner_loopback_devtunnel": runner_tcp.get("fps"),
         "fps_4k_to_8k": round(fps_4k, 2) if fps_4k else None,
         "p50_latency_ms": round(p50_ms, 2),
