@@ -84,6 +84,17 @@ class StitcherConfig:
     recalib_del_ms: int = 1000
     recalib_thresh_px: int = 15
     recalib_interp: bool = False
+    #: Dispatch the recalibration's feature programs one camera / one
+    #: seam at a time with a completion gate between units, instead of
+    #: one batched program per stage. The batched detect is a single
+    #: ~128 ms device program (match+RANSAC ~110 ms): a live stitch
+    #: frame dispatched behind it waits the whole block, which showed up
+    #: as 200+ ms p99 frames around every mesh install. Chunked units
+    #: are ~20 ms, so concurrent 8 ms stitch frames interleave. Costs
+    #: the solve one device round trip per unit (12 total) — well inside
+    #: the 1 s cadence budget; disable to make an isolated solve as fast
+    #: as possible when no live loop shares the chip.
+    recalib_chunked: bool = True
     #: Re-warp seam weights through the mesh on recalibration
     #: (MultiBandBlender::update_mask; disabled in the reference,
     #: 360_stitcher/timed.cpp:598-606).

@@ -54,6 +54,38 @@ def _detect_all(bands_gray, masks, max_kp=512, num_levels=4,
         scale_factor=scale_factor))(bands_gray, masks)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("max_kp", "num_levels", "scale_factor"))
+def _detect_one(gray, mask, max_kp=512, num_levels=4, scale_factor=1.2):
+    """Single-camera twin of _detect_all (cfg.recalib_chunked): a ~20 ms
+    program instead of the ~128 ms 6-camera batch, so live stitch frames
+    sharing the device can interleave between cameras."""
+    return detect_and_describe(gray, mask, max_keypoints=max_kp,
+                               num_levels=num_levels,
+                               scale_factor=scale_factor)
+
+
+@jax.jit
+def _match_ransac_one(xy1, xy2, d1, d2, v1, v2, key, ratio):
+    """Single ring-pair twin of _match_ransac_all_jit
+    (cfg.recalib_chunked)."""
+    m = knn_ratio_match(d1, d2, v1, v2, ratio)
+    p1 = jnp.take(xy1, m.query, axis=0)
+    p2 = jnp.take(xy2, m.train, axis=0)
+    _, inl, _ = ransac_homography(p1, p2, m.valid, key)
+    return p1, p2, m.valid, inl, m.distance
+
+
+def _gate(x):
+    """Completion gate between chunked device programs: waits for x (a
+    4-byte read), which opens a gap in the device's in-order queue so a
+    concurrently-running stitch loop's frames run next instead of
+    queueing behind the rest of the solve. Costs one host<->device round
+    trip."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf.ravel()[:4])
+
+
 def _warp_bands_global(frames, global_fused_maps, geom):
     """Warp frames through the *global-only* fused maps (the mesh must be
     estimated on globally-warped images, meshwarper.cpp:64-73). frames:
@@ -190,15 +222,30 @@ def prewarm_mesh_programs(cfg, geom, strip_warp: bool = False) -> None:
     def f_warp():
         _warp_bands_global_jit.lower(frames_st, maps_st, geom).compile()
 
+    chunked = getattr(cfg, "recalib_chunked", True)
+
     def f_detect():
-        g = st((c, bh, bw))
-        _detect_all.lower(g, g, max_kp=kp, num_levels=cfg.orb_num_levels,
-                          scale_factor=cfg.orb_scale_factor).compile()
+        if chunked:
+            g1 = st((bh, bw))
+            _detect_one.lower(g1, g1, max_kp=kp,
+                              num_levels=cfg.orb_num_levels,
+                              scale_factor=cfg.orb_scale_factor).compile()
+        else:
+            g = st((c, bh, bw))
+            _detect_all.lower(g, g, max_kp=kp,
+                              num_levels=cfg.orb_num_levels,
+                              scale_factor=cfg.orb_scale_factor).compile()
 
     def f_match():
         d = st((kp, 8), jnp.uint32)
         v = st((kp,), jnp.bool_)
-        _match_jit.lower(d, d, v, v, cfg.lowe_ratio).compile()
+        if chunked:
+            xy = st((kp, 2))
+            key = st((2,), jnp.uint32)
+            _match_ransac_one.lower(xy, xy, d, d, v, v, key,
+                                    cfg.lowe_ratio).compile()
+        else:
+            _match_jit.lower(d, d, v, v, cfg.lowe_ratio).compile()
 
     def f_ransac():
         p = st((kp, 2))
@@ -337,20 +384,58 @@ class MeshPipeline:
         nonblack = (jnp.max(bands, axis=1) > 0).astype(jnp.float32)
         masks = self.overlap_masks * nonblack
 
-        kps = _detect_all(gray, masks, max_kp=cfg.orb_num_features,
-                          num_levels=cfg.orb_num_levels,
-                          scale_factor=cfg.orb_scale_factor)
-        sal_dev = _salience_all(bands, self.solver.N - 1, self.solver.M - 1)
+        chunked = getattr(cfg, "recalib_chunked", True)
+        if chunked:
+            # preemptible solve (cfg.recalib_chunked): one ~20 ms program
+            # per camera / per seam with a completion gate between units,
+            # so a live stitch loop's ~8 ms frames interleave instead of
+            # waiting behind a ~128 ms detect + ~110 ms match block
+            # (measured 200+ ms worst frames around installs). The gates
+            # cost the solve ~12 round trips — inside the 1 s cadence.
+            kp_list = []
+            for i in range(c):
+                k = _detect_one(gray[i], masks[i],
+                                max_kp=cfg.orb_num_features,
+                                num_levels=cfg.orb_num_levels,
+                                scale_factor=cfg.orb_scale_factor)
+                _gate(k.desc)
+                kp_list.append(k)
+            kps = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                         *kp_list)
+            sal_dev = _salience_all(bands, self.solver.N - 1,
+                                    self.solver.M - 1)
+            keys = jax.random.split(self._next_key(), c)
+            pend = []
+            for idx in range(c):
+                dst = (idx - 1) % c
+                one = _match_ransac_one(
+                    kp_list[idx].xy, kp_list[dst].xy, kp_list[idx].desc,
+                    kp_list[dst].desc, kp_list[idx].valid,
+                    kp_list[dst].valid, keys[idx], cfg.lowe_ratio)
+                _gate(one[3])
+                pend.append(one)
+            host, salience = jax.device_get((pend, sal_dev))
+            p1b = [h[0] for h in host]
+            p2b = [h[1] for h in host]
+            okb = [h[2] for h in host]
+            inlb = [h[3] for h in host]
+            distb = [h[4] for h in host]
+        else:
+            kps = _detect_all(gray, masks, max_kp=cfg.orb_num_features,
+                              num_levels=cfg.orb_num_levels,
+                              scale_factor=cfg.orb_scale_factor)
+            sal_dev = _salience_all(bands, self.solver.N - 1,
+                                    self.solver.M - 1)
 
-        # ALL per-pair device work (match, point gather, RANSAC) as ONE
-        # vmapped program, then ONE batched fetch with the salience —
-        # per-pair dispatches + per-sync fetches cost a tunnel round trip
-        # each on a tunneled dev box
-        keys = jax.random.split(self._next_key(), c)
-        pend = _match_ransac_all_jit(kps.xy, kps.desc, kps.valid, keys,
-                                     cfg.lowe_ratio)
-        host, salience = jax.device_get((pend, sal_dev))
-        p1b, p2b, okb, inlb, distb = host
+            # ALL per-pair device work (match, point gather, RANSAC) as
+            # ONE vmapped program, then ONE batched fetch with the
+            # salience — per-pair dispatches + per-sync fetches cost a
+            # tunnel round trip each on a tunneled dev box
+            keys = jax.random.split(self._next_key(), c)
+            pend = _match_ransac_all_jit(kps.xy, kps.desc, kps.valid,
+                                         keys, cfg.lowe_ratio)
+            host, salience = jax.device_get((pend, sal_dev))
+            p1b, p2b, okb, inlb, distb = host
 
         matches: List[Optional[CamMatches]] = []
         for idx in range(c):

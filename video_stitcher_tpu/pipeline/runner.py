@@ -139,6 +139,17 @@ class Runner:
         if not (cfg.recalibrate and cfg.enable_local):
             return
         period = cfg.recalib_del_ms / 1000.0
+        if cfg.recalib_interp:
+            # warm the interp-animation programs (the eager lerp over the
+            # ~100 MB map tensors compiles at first use — measured 1.9 s
+            # inside the first post-install animation, stalling the live
+            # loop): a self->self interpolation compiles the same
+            # programs here, off the hot path
+            try:
+                s = self.stitcher.state
+                self.stitcher.interpolate_states(s, s, 0.5)
+            except Exception:
+                pass
         next_deadline = time.perf_counter() + period
         while not self._stop.is_set():
             # deadline-based cadence: the reference re-solves every
