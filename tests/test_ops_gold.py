@@ -48,6 +48,20 @@ def test_remap_vs_cv2(rng, border, interp):
         np.testing.assert_allclose(got, gold, atol=6.0)
 
 
+@pytest.mark.parametrize("border", ["constant", "replicate"])
+def test_remap_cubic_vs_cv2(rng, border):
+    """INTER_CUBIC (A=-0.75, 4x4 taps) — the opt-in quality warp used by
+    the supersampled stitch path."""
+    img = _rand_img(rng)
+    h, w = img.shape[:2]
+    mx = (rng.random((29, 31)).astype(np.float32) * (w + 16)) - 8
+    my = (rng.random((29, 31)).astype(np.float32) * (h + 16)) - 8
+    gold = cv2.remap(img, mx, my, cv2.INTER_CUBIC,
+                     borderMode=BORDER_MAP[border], borderValue=(0, 0, 0))
+    got = np.asarray(remap(img, mx, my, interpolation="cubic", border=border))
+    np.testing.assert_allclose(got, gold, atol=6.0)
+
+
 def test_remap_linear_exact_float(rng):
     """Against a scalar float NumPy reference (no fixed-point), tight tol."""
     img = _rand_img(rng, 17, 19, 1)[..., 0]

@@ -83,7 +83,7 @@ def remap_planar(img, map_x, map_y, *, interpolation="linear",
         iy = _reflect_index(iy, h, border)
         return _gather2d(img_flat, ix, iy, w)
 
-    if interpolation != "linear":
+    if interpolation not in ("linear", "cubic"):
         raise ValueError(f"unknown interpolation {interpolation!r}")
 
     x0 = jnp.floor(mx)
@@ -104,6 +104,29 @@ def remap_planar(img, map_x, map_y, *, interpolation="linear",
         def tap(ix, iy):
             return _gather2d(img_flat, _reflect_index(ix, w, border),
                              _reflect_index(iy, h, border), w)
+
+    if interpolation == "cubic":
+        # OpenCV INTER_CUBIC (interpolateCubic, A = -0.75): 4x4 taps at
+        # x0-1..x0+2. Opt-in quality path — 16 gathers instead of 4 —
+        # used by the supersample/quality stitch options, cv2-gold-tested
+        # in tests/test_ops_gold.py.
+        def cubic_w(f):
+            A = jnp.float32(-0.75)
+            w0 = ((A * (f + 1) - 5 * A) * (f + 1) + 8 * A) * (f + 1) - 4 * A
+            w1 = ((A + 2) * f - (A + 3)) * f * f + 1
+            g = 1 - f
+            w2 = ((A + 2) * g - (A + 3)) * g * g + 1
+            return w0, w1, w2, 1 - w0 - w1 - w2
+
+        wx = cubic_w(fx)
+        wy = cubic_w(fy)
+        out = jnp.zeros((c,) + mx.shape, jnp.float32)
+        for j in range(4):
+            row = jnp.zeros_like(out)
+            for i in range(4):
+                row = row + tap(x0 - 1 + i, y0 - 1 + j) * wx[i][None]
+            out = out + row * wy[j][None]
+        return out
 
     v00 = tap(x0, y0)
     v01 = tap(x1, y0)
