@@ -307,32 +307,42 @@ def main():
     parity = psnr(pano[valid > 0], pano_gold[valid > 0])
 
     # parity vs the ACTUAL reference chain (cv2 CPU gold of
-    # calibration.cpp/timed.cpp; see tools/reference_gold.py) — compared
-    # on the global-only state since the gold has no CPW mesh
+    # calibration.cpp/timed.cpp; see tools/reference_gold.py). Parity is
+    # measured in map_convention="reference" (reproduce the reference's
+    # compose-intrinsics map chain, including its half-pixel bias —
+    # config.py map_convention) on the global-only state since the gold
+    # has no CPW mesh; the default product ("exact" maps) is what
+    # psnr_vs_scene_db measures against ground truth above.
     sys.path.insert(0, "tools")
     try:
         import dataclasses
         from reference_gold import psnr_vs_reference
-        pano_global = np.asarray(gold_step(jnp.asarray(frames),
-                                           st.state_global))
+        st_ref = Stitcher(dataclasses.replace(cfg, enable_local=False,
+                                              map_convention="reference"))
+        st_ref.calibrate(frames)
+        gold_step_ref = jax.jit(_ft.partial(stitch_pano, geom=st_ref.geom,
+                                            warp_static=None))
+        pano_global = np.asarray(gold_step_ref(jnp.asarray(frames),
+                                               st_ref.state_global))
         # fuse_maps=False replicates the reference's resize-then-warp
         # two-resample chain; the default fused single-resample is
         # deliberately sharper (costs ~1 dB of parity-PSNR while
         # improving output quality — both numbers are reported)
         st2 = Stitcher(dataclasses.replace(cfg, fuse_maps=False,
                                            enable_local=False,
-                                           use_pallas_remap=False))
+                                           use_pallas_remap=False,
+                                           map_convention="reference"))
         st2.calibrate(frames)
         pano_pw = (st2.stitch(frames), st2.state.valid_mask)
         # quantization-matched 16S twin (the BASELINE >=40 dB fidelity
         # row): the reference's exact integer blend arithmetic applied to
         # our warp, vs the integer gold — removes the gold's own ~37.6 dB
         # quantization self-noise from the comparison
-        pano_i16 = st.stitch_int16(frames, state=st.state_global)
-        ref = psnr_vs_reference(st, frames, pano=pano_global,
+        pano_i16 = st_ref.stitch_int16(frames, state=st_ref.state_global)
+        ref = psnr_vs_reference(st_ref, frames, pano=pano_global,
                                 named_panos={"_prewarp": pano_pw,
                                              "_int16": (pano_i16,
-                                                        st.state.valid_mask)})
+                                                        st_ref.state.valid_mask)})
     except Exception as e:
         ref = {"psnr_vs_reference_db": None, "error": str(e)[:200]}
 

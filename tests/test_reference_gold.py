@@ -98,7 +98,8 @@ def test_psnr_vs_reference_prewarp_resize_chain():
     must hit the 40 dB bar against the float gold."""
     from reference_gold import psnr_vs_reference
     cfg = StitcherConfig(**{**SMALL, "compose_megapix": 0.03,
-                            "fuse_maps": False})
+                            "fuse_maps": False,
+                            "map_convention": "reference"})
     geom, _ = plan_geometry(cfg)
     assert geom.prewarp and abs(geom.compose_scale - 1.0) > 1e-1
     rng = np.random.default_rng(3)

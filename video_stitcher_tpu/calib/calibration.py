@@ -77,6 +77,11 @@ class StitchGeometry:
     #: scales the default fused single-resample path is sharper and
     #: faster (it IS the measured psnr_vs_reference gap in bench.py).
     prewarp: bool = False
+    #: "exact" = band maps evaluated with source-resolution intrinsics
+    #: (values directly in warp-source px); "reference" = the reference's
+    #: compose-intrinsics + back-conversion chain (see
+    #: StitcherConfig.map_convention for the error analysis).
+    map_convention: str = "reference"
 
     @property
     def warp_src_w(self) -> int:
@@ -85,6 +90,17 @@ class StitchGeometry:
     @property
     def warp_src_h(self) -> int:
         return self.compose_h if self.prewarp else self.src_h
+
+    #: dims of the coordinate system the raw band maps are BUILT in
+    #: (before _to_warp_source): full-res for "exact", compose for
+    #: "reference" (validity bounds, calibration.cpp:224-227).
+    @property
+    def map_built_w(self) -> int:
+        return self.src_w if self.map_convention == "exact" else self.compose_w
+
+    @property
+    def map_built_h(self) -> int:
+        return self.src_h if self.map_convention == "exact" else self.compose_h
 
 
 def _compose_size(cfg: StitcherConfig) -> Tuple[int, int]:
@@ -116,8 +132,23 @@ def plan_geometry(cfg: StitcherConfig) -> Tuple[StitchGeometry, List[CameraParam
                          else "highest"),
         wrap=cfg.wrap_around,
         prewarp=(compose_scale < 0.5
-                 or (not cfg.fuse_maps and resizes)))
+                 or (not cfg.fuse_maps and resizes)),
+        map_convention=cfg.map_convention)
     return geom, cams_compose
+
+
+def map_cams(cfg: StitcherConfig, cams_compose: List[CameraParams]
+             ) -> List[CameraParams]:
+    """Cameras the backward band maps are evaluated with. "exact":
+    source-resolution intrinsics (ppx = W/2 exactly), so the projection
+    lands directly in warp-source pixels with no lossy back-conversion.
+    "reference": the naively-scaled compose intrinsics
+    (calibration.cpp:171-173)."""
+    if cfg.map_convention == "exact":
+        return fixed_rig_cameras(cfg.num_images, cfg.input_width,
+                                 cfg.input_height, 1.0, cfg.fov_deg,
+                                 cfg.yaws)
+    return cams_compose
 
 
 # ----------------------------------------------------------------------
@@ -193,7 +224,8 @@ def calibrate(frames: np.ndarray, cfg: StitcherConfig,
     # --- compose-scale products, on the default device ---
     from video_stitcher_tpu.geometry.cylindrical import \
         band_backward_maps_device
-    band_maps = band_backward_maps_device(lay, cams_compose)  # [N,2,bh,bw]
+    cams_map = map_cams(cfg, cams_compose)
+    band_maps = band_backward_maps_device(lay, cams_map)      # [N,2,bh,bw]
     weights0, overlap_masks = _compose_products_device(
         jnp.asarray(seam_masks.astype(np.float32)), band_maps,
         geom=geom, sc=sc)
@@ -220,6 +252,7 @@ def calibrate(frames: np.ndarray, cfg: StitcherConfig,
     )
     aux = {
         "cams_compose": cams_compose,
+        "cams_map": cams_map,
         "band_maps": band_maps,          # device-resident
         "weights0": weights0,
         "seam_masks": seam_masks,
@@ -267,7 +300,7 @@ def _compose_products_device(seam_masks, band_maps, geom: StitchGeometry,
     lay = geom.layout
     n = band_maps.shape[0]
     valid = _validity(band_maps[:, 0], band_maps[:, 1],
-                      geom.compose_w, geom.compose_h)
+                      geom.map_built_w, geom.map_built_h)
     ys = ((jnp.arange(lay.band_h, dtype=jnp.float32) + np.float32(lay.v0))
           * np.float32(sc.ratio) - np.float32(sc.v0))
     corners = jnp.asarray(np.asarray(lay.corners, np.float32))
@@ -309,6 +342,31 @@ def compose_fused_maps(geom: StitchGeometry, band_maps: np.ndarray,
         return _compose_fused_maps_impl(geom, band_maps, mesh_maps)
 
 
+def _to_warp_source(maps, geom):
+    """Convert raw band-map VALUES into warp-source pixel coordinates.
+
+    "exact": maps were built with source-resolution intrinsics, so they
+    already ARE full-res source coords; under prewarp convert FORWARD
+    into resized-source coords with the cv2 resize pixel-center relation
+    per axis (dst = (src + 0.5) * out/in - 0.5, exact for the resize the
+    per-frame path actually performs). "reference": maps were built in
+    compose coordinates; when the online path skips the resize
+    (timed.cpp:75 condition) convert back through the rounded compose
+    scale — reproducing the reference's half-pixel + truncation bias.
+    Works on np and jnp arrays ([N, 2, bh, bw])."""
+    if geom.map_convention == "exact":
+        if geom.prewarp:
+            sx = np.float32(geom.compose_w / geom.src_w)
+            sy = np.float32(geom.compose_h / geom.src_h)
+            sc = np.asarray([sx, sy], np.float32).reshape(1, 2, 1, 1)
+            maps = (maps + np.float32(0.5)) * sc - np.float32(0.5)
+        return maps
+    s = geom.compose_scale
+    if not geom.prewarp and abs(s - 1.0) > 1e-1:   # timed.cpp:75 condition
+        maps = (maps + 0.5) / s - 0.5
+    return maps
+
+
 def _compose_fused_maps_impl(geom, band_maps, mesh_maps=None):
     maps = band_maps
     if mesh_maps is not None:
@@ -320,15 +378,7 @@ def _compose_fused_maps_impl(geom, band_maps, mesh_maps=None):
             # where the mesh map is out of band bounds, keep invalid
             out[i] = sampled
         maps = out
-    s = geom.compose_scale
-    if geom.prewarp:
-        # strong minification: the per-frame path resizes the source to
-        # compose scale first (timed.cpp:75-77), so the maps stay in
-        # compose coordinates
-        pass
-    elif abs(s - 1.0) > 1e-1:                # timed.cpp:75 resize condition
-        maps = (maps + 0.5) / s - 0.5
-    return maps.astype(np.float32)
+    return np.asarray(_to_warp_source(maps, geom)).astype(np.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("geom",))
@@ -345,10 +395,7 @@ def compose_fused_maps_device(band_maps, mesh_maps, geom: StitchGeometry):
         maps = jax.vmap(one)(band_maps, mesh_maps)
     else:
         maps = band_maps
-    s = geom.compose_scale
-    if not geom.prewarp and abs(s - 1.0) > 1e-1:   # timed.cpp:75 condition
-        maps = (maps + 0.5) / s - 0.5
-    return maps
+    return _to_warp_source(maps, geom)
 
 
 def krinv_device(cams):
@@ -391,10 +438,7 @@ def compose_fused_maps_from_disp(krinv, disp_c, geom: StitchGeometry):
     v = mesh_y + np.float32(lay.v0)
     mx, my = eval_cyl_backward(krinv, u, v, np.float32(lay.scale))
     maps = jnp.stack([mx, my], axis=1)
-    s = geom.compose_scale
-    if not geom.prewarp and abs(s - 1.0) > 1e-1:     # timed.cpp:75
-        maps = (maps + 0.5) / s - 0.5
-    return maps
+    return _to_warp_source(maps, geom)
 
 
 def prewarp_source(x, geom: StitchGeometry):

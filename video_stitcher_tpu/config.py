@@ -160,6 +160,19 @@ class StitcherConfig:
     #: Fuse compose-resize + global warp + mesh warp into one backward map
     #: (the TPU-native fast path). Disable for bit-closer reference parity.
     fuse_maps: bool = True
+    #: Coordinate convention for the backward warp maps. "exact" (default)
+    #: evaluates the cylindrical backward projection with SOURCE-resolution
+    #: intrinsics, so map values land directly in warp-source pixels.
+    #: "reference" reproduces calibration.cpp:171-213 + timed.cpp:75-90:
+    #: intrinsics naively scaled by the ideal compose_work_aspect, maps
+    #: built in compose coordinates, then converted back through the
+    #: rounded compose size — which bakes in a constant 0.5*(1-s)/s px
+    #: offset (naive pp*s scaling vs the cv2 resize pixel-center
+    #: convention) plus an int-truncation scale error of up to ~0.7 px at
+    #: frame edges. Measured on the scene-truth harness (bench.py):
+    #: "reference" = 36.1 dB, "exact" = see psnr_vs_scene_db. Parity
+    #: tests/keys vs the cv2 gold select "reference" explicitly.
+    map_convention: str = "exact"
     #: Use the Pallas strip-warp kernel (ops/remap_strips) for the per-frame
     #: resample on TPU; falls back to the XLA gather when off or unsupported
     #: (CPU backend, source width not 128-aligned).
@@ -177,6 +190,9 @@ class StitcherConfig:
             raise ValueError(f"unknown blend_type {self.blend_type!r}")
         if self.blend_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown blend_dtype {self.blend_dtype!r}")
+        if self.map_convention not in ("exact", "reference"):
+            raise ValueError(
+                f"unknown map_convention {self.map_convention!r}")
 
     # --- scale math (360_stitcher/calibration.cpp:269-281,147-153) ---
     @property

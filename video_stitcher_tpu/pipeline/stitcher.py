@@ -548,7 +548,8 @@ class Stitcher:
         from video_stitcher_tpu.calib.calibration import (
             compose_fused_maps_from_disp, krinv_device)
         if getattr(self, "_krinv_dev", None) is None:
-            self._krinv_dev = krinv_device(self.aux["cams_compose"])
+            self._krinv_dev = krinv_device(
+                self.aux.get("cams_map", self.aux["cams_compose"]))
         fused_dev = compose_fused_maps_from_disp(
             self._krinv_dev, jnp.asarray(disp_c), geom=self.geom)
         new_state, new_static = self._plan_warp(self.state,
