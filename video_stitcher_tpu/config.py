@@ -124,7 +124,9 @@ class StitcherConfig:
     #: Nonzero by default: with async dispatch the results queue is what
     #: bounds how far the stitch loop runs ahead of consumer-confirmed
     #: completion — unbounded (0) + a slow consumer would pin pano-sized
-    #: device buffers without limit (ADVICE r3). 0 = unbounded (opt-in).
+    #: device buffers without limit (ADVICE r3). 0 = unbounded (opt-in,
+    #: threaded mode only — the inline loop's in-flight ring must be
+    #: finite, so inline treats 0 as the default depth 4 and logs it).
     results_max_size: int = 4
     clear_buffers: bool = False
     #: write a jax.profiler device trace of the first trace_frames stitched

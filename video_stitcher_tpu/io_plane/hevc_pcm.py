@@ -32,9 +32,6 @@ this module is the always-available reference implementation.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
-import threading
 from typing import Optional
 
 import numpy as np
@@ -435,44 +432,23 @@ class PcmHevcEncoder:
 
 
 # ------------------------------------------------------- native twin
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "native")
-_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libhevcpcm.so"))
-_lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_tried = False
+def _configure_hevcpcm(lib: ctypes.CDLL) -> None:
+    lib.hevcpcm_create.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.hevcpcm_create.restype = ctypes.c_void_p
+    lib.hevcpcm_max_size.argtypes = [ctypes.c_void_p]
+    lib.hevcpcm_max_size.restype = ctypes.c_long
+    lib.hevcpcm_encode.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+    lib.hevcpcm_encode.restype = ctypes.c_long
+    lib.hevcpcm_destroy.argtypes = [ctypes.c_void_p]
+    lib.hevcpcm_destroy.restype = None
 
 
 def load_native() -> Optional[ctypes.CDLL]:
-    """Load (building on demand) libhevcpcm.so, or None — mirrors
-    io_plane.native.load()."""
-    global _lib, _tried
-    with _lock:
-        if _lib is not None or _tried:
-            return _lib
-        _tried = True
-        if not os.path.exists(_LIB_PATH):
-            try:
-                subprocess.run(["make", "-s", "libhevcpcm.so"],
-                               cwd=os.path.abspath(_NATIVE_DIR), check=True,
-                               capture_output=True, timeout=120)
-            except Exception:
-                return None
-        try:
-            lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
-            return None
-        lib.hevcpcm_create.argtypes = [ctypes.c_int, ctypes.c_int]
-        lib.hevcpcm_create.restype = ctypes.c_void_p
-        lib.hevcpcm_max_size.argtypes = [ctypes.c_void_p]
-        lib.hevcpcm_max_size.restype = ctypes.c_long
-        lib.hevcpcm_encode.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
-        lib.hevcpcm_encode.restype = ctypes.c_long
-        lib.hevcpcm_destroy.argtypes = [ctypes.c_void_p]
-        lib.hevcpcm_destroy.restype = None
-        _lib = lib
-        return _lib
+    """Load (building on demand) libhevcpcm.so, or None."""
+    from video_stitcher_tpu.io_plane.native import load_or_build
+    return load_or_build("libhevcpcm.so", _configure_hevcpcm)
 
 
 class NativePcmHevcEncoder:

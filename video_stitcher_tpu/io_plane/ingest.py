@@ -101,9 +101,7 @@ class CaptureIngest:
             # server's stats die with it, but end-of-run summaries (and
             # tests) read them after release()
             for cam, s in enumerate(self.stats()):
-                self._stats[cam].update(
-                    {k: v for k, v in s.items() if k != "drops"})
-                self._stats[cam]["drops"] = s["drops"]
+                self._stats[cam].update(s)
             self._native.stitchio_stop_server()
             self._native = None
             return

@@ -244,6 +244,11 @@ def prewarm_mesh_programs(cfg, geom, strip_warp: bool = False) -> None:
             key = st((2,), jnp.uint32)
             _match_ransac_one.lower(xy, xy, d, d, v, v, key,
                                     cfg.lowe_ratio).compile()
+            if cfg.alphas[3] > 0:
+                # the temporal term matches frame t vs t-1 with the
+                # standalone matcher even in chunked mode — compile it
+                # here, not inside the first live solve
+                _match_jit.lower(d, d, v, v, cfg.lowe_ratio).compile()
         else:
             _match_jit.lower(d, d, v, v, cfg.lowe_ratio).compile()
 
@@ -400,8 +405,11 @@ class MeshPipeline:
                                 scale_factor=cfg.orb_scale_factor)
                 _gate(k.desc)
                 kp_list.append(k)
-            kps = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
-                                         *kp_list)
+            # the stacked-keypoint tensor only feeds the temporal term —
+            # skip the per-solve stacking dispatches when it's off
+            kps = (jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                          *kp_list)
+                   if cfg.alphas[3] > 0.0 else None)
             sal_dev = _salience_all(bands, self.solver.N - 1,
                                     self.solver.M - 1)
             keys = jax.random.split(self._next_key(), c)

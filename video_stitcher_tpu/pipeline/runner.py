@@ -305,9 +305,14 @@ class Runner:
         # auto: a small host loses more to queue handoffs + GIL context
         # switches than it gains from overlap; heavy consumption (full-res
         # encode + egress/sink) on a multi-core host wants the consumer
-        # thread
+        # thread. Count the cpus this PROCESS may use (quota/affinity in a
+        # container), not the machine's.
         import os
-        if (os.cpu_count() or 1) <= 2:
+        try:
+            ncpu = len(os.sched_getaffinity(0))
+        except AttributeError:          # non-Linux
+            ncpu = os.cpu_count() or 1
+        if ncpu <= 2:
             return True
         heavy = (not self.consume_device
                  and (self.sink is not None or self.cfg.save_video
@@ -327,6 +332,13 @@ class Runner:
         max(depth, sync_every) frames in flight."""
         import collections
         cfg = self.cfg
+        # the ring must be finite — consuming (the D2H/sync) is what
+        # completes a frame, so "unbounded" (results_max_size=0, a
+        # threaded-mode opt-in) has no inline meaning; fall back to the
+        # bounded default rather than never consuming
+        if not cfg.results_max_size:
+            log.info("inline pipeline: results_max_size=0 (unbounded) has "
+                     "no inline meaning; using ring depth 4")
         depth = max(1, cfg.results_max_size or 4)
         ring = collections.deque()
         tracing = False
