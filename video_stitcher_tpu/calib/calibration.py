@@ -80,8 +80,10 @@ class StitchGeometry:
     #: "exact" = band maps evaluated with source-resolution intrinsics
     #: (values directly in warp-source px); "reference" = the reference's
     #: compose-intrinsics + back-conversion chain (see
-    #: StitcherConfig.map_convention for the error analysis).
-    map_convention: str = "reference"
+    #: StitcherConfig.map_convention for the error analysis). Default
+    #: matches StitcherConfig.map_convention so directly-constructed
+    #: geometries (tests/tools) agree with the product default.
+    map_convention: str = "exact"
 
     @property
     def warp_src_w(self) -> int:
@@ -334,8 +336,10 @@ def compose_fused_maps(geom: StitchGeometry, band_maps: np.ndarray,
     """Fold mesh warp + compose resize into the global band maps.
 
     Online equivalence (timed.cpp:77-103): out(x) = resize(src)[global[mesh[x]]]
-      -> fused[x] = to_fullres(global_map sampled at mesh_map[x]).
-    to_fullres uses the cv resize convention src=(c+0.5)/scale-0.5.
+      -> fused[x] = to_warp_source(global_map sampled at mesh_map[x]),
+    where the map-value -> warp-source-pixel conversion per convention
+    ("exact" vs "reference", incl. the cv resize pixel-center relation)
+    is documented on _to_warp_source below.
     """
     from video_stitcher_tpu.utils.hostdev import host_eager
     with host_eager():

@@ -17,7 +17,30 @@ _lock = threading.Lock()
 _cache: Dict[str, Optional[ctypes.CDLL]] = {}
 
 
+def _is_current(target: str) -> bool:
+    """True when the built .so is newer than every native source file —
+    the stale-ABI check make would do, without paying a subprocess (or a
+    present-but-broken toolchain's worst-case 120 s stall) per process."""
+    ndir = os.path.abspath(_NATIVE_DIR)
+    path = os.path.join(ndir, target)
+    try:
+        t_so = os.path.getmtime(path)
+    except OSError:
+        return False
+    try:
+        for name in os.listdir(ndir):
+            if name.endswith((".cpp", ".cc", ".hpp", ".h")) \
+                    or name == "Makefile":
+                if os.path.getmtime(os.path.join(ndir, name)) > t_so:
+                    return False
+    except OSError:
+        return False
+    return True
+
+
 def _make(target: str) -> bool:
+    if _is_current(target):
+        return True
     try:
         subprocess.run(["make", "-s", target],
                        cwd=os.path.abspath(_NATIVE_DIR), check=True,

@@ -310,7 +310,7 @@ class Runner:
         import os
         try:
             ncpu = len(os.sched_getaffinity(0))
-        except AttributeError:          # non-Linux
+        except (AttributeError, OSError):   # non-Linux / odd containers
             ncpu = os.cpu_count() or 1
         if ncpu <= 2:
             return True
