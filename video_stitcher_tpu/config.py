@@ -181,6 +181,14 @@ class StitcherConfig:
     use_pallas_remap: bool = True
     #: devices along the camera axis for multi-chip stitching (1 = single chip)
     camera_shards: int = 1
+    #: deadline (ms) on every live-loop device sync — the per-frame
+    #: completion read, the full-frame download, frame staging. Past it
+    #: the Runner logs + drops the frame and keeps running instead of
+    #: blocking forever (the TPU-plane analog of the reference ingest's
+    #: 3-failed-recv client drop, networking.cpp:29-37; the tunneled dev
+    #: link has measured minutes-long wedges inside jax.Array._value).
+    #: 0 disables (unbounded syncs).
+    sync_timeout_ms: float = 10000.0
 
     # ------------------------------------------------------------------
     def __post_init__(self):

@@ -48,10 +48,15 @@ class Runner:
                  consume_device: bool = False,
                  collect_latency: bool = False,
                  sync_every: int = 1,
-                 staging_depth: int = 2):
+                 staging_depth: int = 2,
+                 stitcher=None):
         from video_stitcher_tpu.pipeline.stitcher import Stitcher
         self.cfg = cfg
-        self.stitcher = Stitcher(cfg)
+        #: a pre-calibrated Stitcher skips run()'s calibration phase —
+        #: benches/back-to-back runs calibrate ONCE and reuse it (the
+        #: reference likewise calibrates once at startup and only
+        #: re-solves the mesh afterwards, timed.cpp:465-629)
+        self.stitcher = stitcher if stitcher is not None else Stitcher(cfg)
         self.source = source
         self.sink = sink
         self.egress = egress
@@ -99,6 +104,12 @@ class Runner:
         self._last_recalib_t = 0.0
         self._first_frame = True
         self._consumed = 0
+        #: live-loop device syncs that exceeded cfg.sync_timeout_ms and
+        #: were dropped (frame skipped, pipeline kept alive) — the
+        #: TPU-plane analog of the ingest's per-camera drop counters
+        self.sync_stalls = 0
+        #: frame stagings (H2D) that exceeded the deadline and were dropped
+        self.stage_stalls = 0
 
     # --- source -------------------------------------------------------
     def _make_source(self):
@@ -204,14 +215,35 @@ class Runner:
         one-time calib.jpg/result.jpg, sink/show/egress, fps meter."""
         cfg = self.cfg
         out_dev, first_frames, t_staged = item
+        timeout_s = cfg.sync_timeout_ms / 1e3
+        from video_stitcher_tpu.utils.devsync import StallError
         if self.consume_device:
             # force completion without the full-frame download
             self._consumed += 1
             if self._consumed % self.sync_every == 0:
-                np.asarray(out_dev.ravel()[:4])
+                from video_stitcher_tpu.utils import devsync
+                try:
+                    devsync.read_head(out_dev, timeout_s)
+                except StallError:
+                    # deadline passed: drop this frame's sync and keep
+                    # the pipeline alive (networking.cpp:29-37 analog)
+                    self.sync_stalls += 1
+                    log.warning("device sync stalled past %.1fs "
+                                "(%d so far) — frame dropped",
+                                timeout_s, self.sync_stalls)
+                    return
             out = out_dev
         else:
-            out = self.stitcher.finalize_out(out_dev)
+            from video_stitcher_tpu.utils import devsync
+            try:
+                out = devsync.call_deadline(
+                    lambda: self.stitcher.finalize_out(out_dev), timeout_s)
+            except StallError:
+                self.sync_stalls += 1
+                log.warning("output download stalled past %.1fs "
+                            "(%d so far) — frame dropped",
+                            timeout_s, self.sync_stalls)
+                return
         if self.collect_latency and t_staged is not None:
             now = time.perf_counter()
             self.latencies.append(now - t_staged)
@@ -278,11 +310,28 @@ class Runner:
             if frames is None:
                 self._staged.push(Runner._EOF, block=True)
                 return
+            dev = self._stage_bounded(frames)
+            if dev is None:
+                continue                      # staging stalled; frame dropped
+            self._staged.push((dev, time.perf_counter()), block=True)
+
+    def _stage_bounded(self, frames):
+        """stage_frames with the sync deadline: returns the staged device
+        array, or None when the H2D path stalled past cfg.sync_timeout_ms
+        (logged + counted; the frame set is dropped, the loop lives)."""
+        from video_stitcher_tpu.utils import devsync
+        timeout_s = self.cfg.sync_timeout_ms / 1e3
+        try:
             with self.timers.time("upload"):
                 # single-device put, or camera-sharded across the mesh
                 # when cfg.camera_shards > 1
-                dev = self.stitcher.stage_frames(frames)
-            self._staged.push((dev, time.perf_counter()), block=True)
+                return devsync.call_deadline(
+                    lambda: self.stitcher.stage_frames(frames), timeout_s)
+        except devsync.StallError:
+            self.stage_stalls += 1
+            log.warning("frame staging stalled past %.1fs (%d so far) — "
+                        "frame set dropped", timeout_s, self.stage_stalls)
+            return None
 
     @staticmethod
     def _to_rgb_host(frames):
@@ -348,8 +397,9 @@ class Runner:
             if frames is None:
                 log.info("source exhausted")
                 break
-            with self.timers.time("upload"):
-                dev = self.stitcher.stage_frames(frames)
+            dev = self._stage_bounded(frames)
+            if dev is None:
+                continue                      # staging stalled; frame dropped
             t_staged = time.perf_counter()
             with self._latest_lock:
                 self._latest_frames = dev
@@ -386,9 +436,13 @@ class Runner:
         frames = source.get_frames()
         if frames is None:
             raise RuntimeError("couldn't read initial frames")
-        t0 = time.perf_counter()
-        self.stitcher.calibrate(self._to_rgb_host(frames))
-        log.info("Calibration done in: %.0f ms", (time.perf_counter() - t0) * 1e3)
+        if self.stitcher.state is None:
+            t0 = time.perf_counter()
+            self.stitcher.calibrate(self._to_rgb_host(frames))
+            log.info("Calibration done in: %.0f ms",
+                     (time.perf_counter() - t0) * 1e3)
+        else:
+            log.info("using pre-calibrated stitcher")
 
         if self._use_inline():
             recalib = threading.Thread(target=self._recalib_loop, daemon=True)
