@@ -1,51 +1,207 @@
 #!/usr/bin/env python
 """Benchmark: 6-cam 1080p -> 4K equirect stitching on one TPU chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": fps, "unit": "fps", "vs_baseline": fps/60}
-(vs_baseline is against the BASELINE.md north-star of 60 fps sustained;
-the reference repo publishes no numbers of its own.)
+Evidence-delivery contract (VERDICT r4 #1) — this bench is STALL-
+TOLERANT end to end:
 
-Measurement notes: the axon backend's block_until_ready does not reliably
-block, so every timing here is closed by a small device->host read of the
-result (which forces completion). Throughput is measured PIPELINED — K
-frames in flight, one sync at the end — matching how the live Runner
-drives the chip; latency is per-frame fully synced.
+* Every phase runs on a worker thread with its own wall-clock budget
+  (utils/devsync.call_deadline). A wedged device link — measured
+  minutes-long blocks inside jax.Array._value on this backend — costs
+  that phase ("stalled": true), never the bench.
+* Results are emitted incrementally: each phase prints its own
+  {"phase": ...} line the moment it finishes, followed by an updated
+  MERGED snapshot line ({"metric": ..., "partial": true}). The last
+  stdout line is therefore ALWAYS a complete merged JSON object, no
+  matter where a driver timeout lands.
+* A SIGALRM self-watchdog (BENCH_BUDGET_S, default 960 s) and a
+  SIGTERM handler print the final merged line ("partial": false, with
+  "skipped_phases") and exit 0 before any external timeout can kill
+  the evidence.
+* Phases are ordered value-first (step fps -> runner loop -> latency ->
+  paced cadence -> recalib stats -> psnr -> 4K -> soak -> extras) and
+  calibration happens ONCE — every Runner pass reuses the calibrated
+  Stitcher (VERDICT r4 next-1e).
+
+The merged line's headline: {"metric": ..., "value": fps, "unit":
+"fps", "vs_baseline": fps/60} against BASELINE.md's 60 fps north star
+(the reference repo publishes no numbers of its own; its live meter is
+timed.cpp:372-381).
+
+Measurement notes: the axon backend's block_until_ready does not
+reliably block, so timings close with a small device->host read.
+Throughput is measured PIPELINED — K frames in flight, one sync at the
+end — matching how the live Runner drives the chip; latency is
+per-frame fully synced.
 """
 
 import json
+import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
+
+from video_stitcher_tpu.utils import devsync
+
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "960"))
+RESERVE_S = 25.0              # kept back for the final merged print
+_T0 = time.monotonic()
+
+RESULTS: dict = {}
+PHASES_DONE: list = []
+FAILED: set = set()
+SKIPPED: list = []
+CTX: dict = {}
+_emit_lock = threading.Lock()
+_finished = threading.Event()
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+def _merged(partial: bool) -> dict:
+    fps = RESULTS.get("_headline_fps")
+    out = {
+        "metric": "stitched_fps_6cam_1080p_to_4k",
+        "value": round(fps, 2) if fps else None,
+        "unit": "fps",
+        "vs_baseline": round(fps / 60.0, 3) if fps else None,
+    }
+    out.update({k: v for k, v in RESULTS.items() if not k.startswith("_")})
+    out["phases_done"] = list(PHASES_DONE)
+    if SKIPPED:
+        out["skipped_phases"] = list(SKIPPED)
+    if FAILED:
+        out["stalled_or_failed"] = sorted(FAILED)
+    out["elapsed_s"] = round(time.monotonic() - _T0, 1)
+    out["partial"] = partial
+    return out
+
+
+def _emit_phase(name: str, data: dict) -> None:
+    with _emit_lock:
+        RESULTS.update(data)
+        if name not in PHASES_DONE:
+            PHASES_DONE.append(name)
+        print(json.dumps({"phase": name,
+                          **{k: v for k, v in data.items()
+                             if not k.startswith("_")}},
+                         default=float), flush=True)
+        print(json.dumps(_merged(partial=True), default=float), flush=True)
+
+
+def _finish(*_a) -> None:
+    if _finished.is_set():
+        os._exit(0)
+    _finished.set()
+    with _emit_lock:
+        print(json.dumps(_merged(partial=False), default=float), flush=True)
+    os._exit(0)
+
+
+def phase(name: str, budget_s: float, fn, needs=()):
+    """Run one bench phase with a deadline. fn() -> dict of result keys
+    (key "_ctx" = cross-phase objects, applied only on in-deadline
+    success — an abandoned stalled worker can never mutate shared
+    state later). Returns the dict or None."""
+    missing = [n for n in needs if n in FAILED or n in SKIPPED]
+    if missing:
+        SKIPPED.append(name)
+        _emit_phase(name, {"skipped": f"needs {missing}"})
+        return None
+    if _remaining() < RESERVE_S + 10:
+        SKIPPED.append(name)
+        _emit_phase(name, {"skipped": "budget exhausted"})
+        return None
+    t0 = time.monotonic()
+    try:
+        out = devsync.call_deadline(
+            fn, min(budget_s, _remaining() - RESERVE_S))
+    except devsync.StallError:
+        FAILED.add(name)
+        _emit_phase(name, {f"{name}_stalled": True,
+                           f"{name}_elapsed_s":
+                               round(time.monotonic() - t0, 1)})
+        return None
+    except Exception as e:              # noqa: BLE001 — evidence > purity
+        FAILED.add(name)
+        _emit_phase(name, {f"{name}_error": f"{type(e).__name__}: "
+                           f"{e}"[:300]})
+        return None
+    out = dict(out or {})
+    CTX.update(out.pop("_ctx", {}))
+    _emit_phase(name, out)
+    return out
 
 
 def _sync(x):
     return np.asarray(x.ravel()[:4])
 
 
+def _throughput(step, n_iter=16):
+    """best AND median of 3 passes: the max reflects hardware capability
+    on a tunnel-shared chip (sharing only slows a pass down); the median
+    shows run-to-run spread. Pipelined: n_iter dispatches, one sync."""
+    passes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n_iter):
+            out = step()
+        _sync(out)
+        passes.append(n_iter / (time.perf_counter() - t0))
+    return max(passes), float(np.median(passes))
+
+
+_CACHE_COUNTS = {"hits": 0, "requests": 0}
+
+
+def _cache_listener(event, *a, **kw):
+    if event.endswith("/cache_hits"):
+        _CACHE_COUNTS["hits"] += 1
+    elif event.endswith("/compile_requests_use_cache"):
+        _CACHE_COUNTS["requests"] += 1
+
+
 def _enable_compile_cache():
     # shipped prebaked cache (<repo>/.xla_cache) when present, so the
-    # cold-calibration number measures cache loads, not compiles
+    # cold-calibration number measures cache loads, not compiles; the
+    # hit/request counters prove coverage in the recorded bench itself
+    # (VERDICT r4 weak-5 — cache rot must show up in evidence)
+    import jax.monitoring
+    jax.monitoring.register_event_listener(_cache_listener)
     from video_stitcher_tpu.utils.xla_cache import enable
-    enable()
+    enable(writeable=False)
 
+
+# ---------------------------------------------------------------------
+# Runner driver (shared by the runner/latency/paced/loopback/4K phases)
+# ---------------------------------------------------------------------
 
 def _bench_runner(cfg, nv12, n_frames=300, loopback=False, sync_every=1,
                   recalib=True, queue_depth=4, staging_depth=2,
-                  pace_fps=0.0):
-    """Drive the full Runner (staging/stitch/consume threads + live
-    recalibration with interp animations) and report sustained fps,
-    end-to-end latency percentiles, the worst frame during a recalib
-    swap, and the achieved recalibration cadence.
+                  pace_fps=0.0, stitcher=None, dev_sets=None,
+                  framed=False, egress=None):
+    """Drive the full Runner (pipelined loop + live recalibration with
+    interp animations) and report sustained fps, end-to-end latency
+    percentiles, the worst frame during a recalib swap, and the achieved
+    recalibration cadence.
 
+    stitcher: a pre-calibrated Stitcher — passed through to the Runner so
+    back-to-back passes never re-run calibration (VERDICT r4 next-1e).
+    dev_sets: pre-staged device frame-set ring (built once per bench, not
+    per pass — each set is an ~18 MB upload on the tunneled link).
     loopback=True streams the NV12 frames through real TCP sockets into
     the ingest server first (the reference's capture-board deployment,
     networking.cpp:15-65) — on the dev tunnel this is upload-bound.
+    framed adds the magic+seq+len capture framing to the board stream.
     """
     import dataclasses
     import socket
-    import threading
+    import threading as th
 
     import jax
     from video_stitcher_tpu.pipeline.runner import Runner
@@ -55,29 +211,22 @@ def _bench_runner(cfg, nv12, n_frames=300, loopback=False, sync_every=1,
         cfg, recalibrate=recalib, recalib_interp=True, enable_local=True,
         use_stream=loopback, capture_img_width=nvw, capture_img_height=nvh,
         capture_tcp_port=16799, save_video=False, show_out=False,
-        send_results=False,
-        # bounded results + blocking push: async dispatch can then run at
-        # most queue-depth ahead of consumer-confirmed completion, which
-        # keeps the producer-side staging stamps an honest throughput
-        # clock (unbounded, dispatch raced the device and the stamps
-        # measured dispatch rate, not pipeline rate). queue_depth=1 is
-        # the latency-bench configuration: with depth 4, a frame's
-        # end-to-end latency includes waiting behind up to 4 in-flight
-        # frames (pipeline occupancy), not the product's frame latency.
+        send_results=egress is not None, capture_framing=framed,
+        # bounded results + blocking push keeps the completion stamps an
+        # honest throughput clock (see r4 notes); queue_depth=1 is the
+        # latency-bench configuration
         results_max_size=queue_depth, clear_buffers=False)
 
     source = None
     board_threads = []
-    stop_boards = threading.Event()
+    stop_boards = th.Event()
     if loopback:
+        from video_stitcher_tpu.io_plane.ingest import pack_frame
         # accept-order slot assignment (debug mode): serialize connects
-        # through a chain of events so camera slots aren't permuted
-        connected = [threading.Event() for _ in range(n_cams + 1)]
+        connected = [th.Event() for _ in range(n_cams + 1)]
         connected[0].set()
 
         def board(cam):
-            # runner's ingest server binds inside Runner.run(); retry the
-            # connect until it is listening
             connected[cam].wait(timeout=120)
             s = None
             for _ in range(300):
@@ -93,39 +242,35 @@ def _bench_runner(cfg, nv12, n_frames=300, loopback=False, sync_every=1,
                 return
             try:
                 data = nv12[cam].tobytes()
-                # stream CONTINUOUSLY until the runner is done: the ingest
-                # queues are bounded drop-newest (4 deep), so a finite
-                # burst would leave only the first 4 frames and starve the
-                # run. Pacing mimics the reference capture boards' 80 ms
-                # sleep (networking.cpp:50) but faster, so ingest is never
-                # the bottleneck being measured.
+                # stream CONTINUOUSLY until the runner is done: ingest
+                # queues are bounded drop-newest, a finite burst would
+                # starve the run (pacing mimics networking.cpp:50)
+                seq = 0
                 while not stop_boards.is_set():
-                    s.sendall(data)
+                    s.sendall(pack_frame(data, seq) if framed else data)
+                    seq += 1
                     time.sleep(0.01)
             except OSError:
                 pass          # runner stopped and closed the socket
             finally:
                 s.close()
-        board_threads = [threading.Thread(target=board, args=(c,),
-                                          daemon=True)
+        board_threads = [th.Thread(target=board, args=(c,), daemon=True)
                          for c in range(n_cams)]
     else:
-        # FOUR distinct frame sets cycled: feeding the literal same device
-        # array every frame let the runtime skip re-execution (measured
-        # 500+ "fps" — faster than the chip), so vary the input like a
-        # real camera stream does
-        sets = [jax.device_put(np.ascontiguousarray(
-            np.roll(nv12, 8 * k, axis=2))) for k in range(4)]
-        for d in sets:
-            _sync(d)
+        if dev_sets is None:
+            # FOUR distinct frame sets cycled: feeding the literal same
+            # device array every frame lets the runtime skip re-execution
+            dev_sets = [jax.device_put(np.ascontiguousarray(
+                np.roll(nv12, 8 * k, axis=2))) for k in range(4)]
+            for d in dev_sets:
+                _sync(d)
+        sets = dev_sets
 
         class _DevSource:
-            """pace_fps > 0 delivers frames at the deployment rate (like
-            real cameras; the reference paces its capture boards too,
-            networking.cpp:50) — unpaced, the loop saturates the chip at
-            ~113 fps and the recalibration solve's device work queues
-            behind it, so the measured cadence would be a flat-out stress
-            figure, not the product's."""
+            """pace_fps > 0 delivers frames at the deployment rate (real
+            cameras pace the pipeline, networking.cpp:50) — unpaced, the
+            loop saturates the chip and the measured recalib cadence
+            would be a flat-out stress figure, not the product's."""
 
             def __init__(self):
                 self.i = 0
@@ -134,9 +279,8 @@ def _bench_runner(cfg, nv12, n_frames=300, loopback=False, sync_every=1,
             def get_frames(self):
                 if pace_fps:
                     now = time.perf_counter()
-                    # clamp when behind schedule (compile head, tunnel
-                    # stall): a camera delivers at its rate, it doesn't
-                    # burst to "catch up" on missed frames
+                    # clamp when behind schedule: a camera delivers at
+                    # its rate, it doesn't burst to catch up
                     self.t_next = max(self.t_next + 1.0 / pace_fps, now)
                     dt = self.t_next - now
                     if dt > 0:
@@ -150,10 +294,10 @@ def _bench_runner(cfg, nv12, n_frames=300, loopback=False, sync_every=1,
         source = _DevSource()
 
     r = Runner(cfg_r, source=source, max_frames=n_frames,
-               consume_device=True, collect_latency=True,
-               sync_every=sync_every, staging_depth=staging_depth)
+               consume_device=egress is None, collect_latency=True,
+               sync_every=sync_every, staging_depth=staging_depth,
+               stitcher=stitcher, egress=egress)
     if loopback:
-        # boards connect while Runner.run() brings the server up
         for t in board_threads:
             t.start()
     try:
@@ -162,31 +306,24 @@ def _bench_runner(cfg, nv12, n_frames=300, loopback=False, sync_every=1,
         stop_boards.set()
     lat = np.array(r.latencies)
     ts = np.array(r.done_ts)
+    extra = {"sync_stalls": r.sync_stalls, "stage_stalls": r.stage_stalls}
     if len(ts) < 8:
-        return {"error": f"runner produced only {len(ts)} frames"}
+        return {"error": f"runner produced only {len(ts)} frames", **extra}
     if sync_every > 1:
-        # completion stamps between syncs are drain-skewed (the consumer
-        # can fall behind dispatch and then drain at RTT rate, which once
-        # measured an impossible 572 "fps" on a 115 fps chip). Honest
-        # window: SYNCED completion stamps only — each is a true
-        # device-confirmed completion, and XLA executes dispatches in
-        # order, so every frame between two syncs completed inside that
-        # interval. fps = frames between first and last sync / elapsed.
-        # This is the reference's own FPS meter semantics ("delta time
-        # 30 frames", timed.cpp:372-381): steady state, excluding the
-        # first-dispatch compile + pipeline-fill head (the round-3/early-
-        # round-4 formula anchored at a producer-side staging stamp,
-        # which swallowed that head — it recorded 42-45 fps on runs whose
-        # steady-state windows measured 113 fps). Per-window fps is
-        # reported so a reader can see the spread.
+        # Honest window: SYNCED completion stamps only (each a true
+        # device-confirmed completion; XLA executes dispatches in order,
+        # so every frame between two syncs completed inside that
+        # interval). Steady state, excluding the compile/pipeline-fill
+        # head — the reference's own FPS-meter semantics
+        # (timed.cpp:372-381). Per-window fps reported for spread.
         idx = np.arange(sync_every - 1, len(ts), sync_every)
         if len(idx) < 3:
-            return {"error": "too few synced frames"}
+            return {"error": "too few synced frames", **extra}
         fps = (idx[-1] - idx[0]) / (ts[idx[-1]] - ts[idx[0]])
         win = sync_every / np.diff(ts[idx])
         out = {"fps": round(float(fps), 2), "frames": int(len(ts)),
                "window_fps": [round(float(w), 1) for w in win],
-               "recalibs": int(r.recalibs_done)}
+               "recalibs": int(r.recalibs_done), **extra}
         rt = np.array(r.recalib_ts)
         if len(rt) >= 2:
             out["recalib_period_s"] = round(float(np.median(np.diff(rt))), 2)
@@ -202,12 +339,13 @@ def _bench_runner(cfg, nv12, n_frames=300, loopback=False, sync_every=1,
         "worst_ms": round(float(body.max()), 1),
         "frames": int(len(ts)),
         "recalibs": int(r.recalibs_done),
+        **extra,
     }
     rt = np.array(r.recalib_ts)
     if len(rt) >= 2:
         out["recalib_period_s"] = round(float(np.median(np.diff(rt))), 2)
     if len(rt) >= 1:
-        # worst frame completed within ±0.5 s of a mesh install
+        # worst frame completed within +-0.5 s of a mesh install
         near = np.zeros(len(ts), bool)
         for t_r in rt:
             near |= np.abs(ts - t_r) < 0.5
@@ -215,25 +353,35 @@ def _bench_runner(cfg, nv12, n_frames=300, loopback=False, sync_every=1,
         if near.any():
             out["worst_swap_ms"] = round(float(body[near].max()), 1)
     if r.swap_ms:
-        # time inside swap_state during interp animations (lock hold +
-        # reshard), distinct from whole-frame latency near an install
         out["swap_install_ms_max"] = round(float(max(r.swap_ms)), 1)
     return out
 
 
-def main():
-    _enable_compile_cache()
-    import jax
-    import jax.numpy as jnp
-    from video_stitcher_tpu.config import StitcherConfig
-    from video_stitcher_tpu import Stitcher
-    from video_stitcher_tpu.calib.calibration import plan_geometry
+def _best_of(n, thresh, cfg, nv12, **kw):
+    """Up to n passes, keep the best, early-exit at thresh — thresholds
+    are pinned to the 60 fps NORTH STAR (VERDICT r4 weak-4; the old
+    0.85*fps_nv12 bar was self-referential: a bad tunnel window lowered
+    both the bar and the passes). Per-pass fps reported for spread."""
+    best, passes = {}, []
+    for _ in range(n):
+        r = _bench_runner(cfg, nv12, **kw)
+        passes.append(r.get("fps"))
+        if (r.get("fps") or 0) > (best.get("fps") or 0):
+            best = r
+        if (best.get("fps") or 0) >= thresh:
+            break
+    best["passes"] = passes
+    return best
 
-    # --- link-health probe FIRST: the dev tunnel's effective rate swings
-    # >30x between windows (measured 0.35-16 MB/s in one session), and
-    # every transfer-bound number below (calibration_s, rewarp_s,
-    # host-fed fps) scales with it — these two keys make a bad-window
-    # bench interpretable ---
+
+# ---------------------------------------------------------------------
+# Phases
+# ---------------------------------------------------------------------
+
+def p_probe():
+    """Link health FIRST: the dev tunnel's effective rate swings >30x
+    between windows; these keys make a bad-window bench interpretable."""
+    import jax
     z = jax.device_put(np.zeros(4, np.float32))
     _sync(z)                        # absorbs backend init
     t0 = time.perf_counter()
@@ -243,15 +391,27 @@ def main():
     t0 = time.perf_counter()
     _sync(jax.device_put(probe))
     up_mbps = probe.nbytes / 1e6 / (time.perf_counter() - t0)
+    import jax as _j
+    return {"tunnel_rtt_ms": round(rtt_ms, 1),
+            "tunnel_upload_mbps": round(up_mbps, 1),
+            "host_cpus": os.cpu_count(),
+            "device": str(_j.devices()[0])}
 
-    cfg = StitcherConfig(num_images=6, input_width=1920, input_height=1080,
+
+def p_calib():
+    """Cold calibration (shipped-cache loads, not compiles) + the scene
+    harness every later phase reuses. BENCH_SMALL=1 shrinks every config
+    (mechanism validation on CPU; never the recorded TPU bench)."""
+    from video_stitcher_tpu.config import StitcherConfig
+    from video_stitcher_tpu import Stitcher
+    from video_stitcher_tpu.calib.calibration import plan_geometry
+
+    w, h = (640, 360) if os.environ.get("BENCH_SMALL") else (1920, 1080)
+    cfg = StitcherConfig(num_images=6, input_width=w, input_height=h,
                          enable_local=True, recalibrate=False)
     geom, _ = plan_geometry(cfg)
-
-    # Synthetic camera views rendered from a known panorama so fidelity is
-    # measurable (SURVEY.md §4).
     sys.path.insert(0, "tests")
-    from test_stitch_e2e import make_scene, render_views, psnr
+    from test_stitch_e2e import make_scene, render_views
     rng = np.random.default_rng(3)
     scene = make_scene(geom.layout.pano_w, geom.layout.pano_h, rng)
     frames = render_views(cfg, geom, scene)
@@ -260,138 +420,35 @@ def main():
     t0 = time.perf_counter()
     st.calibrate(frames)
     calib_s = time.perf_counter() - t0
+    return {"calibration_s": round(calib_s, 2),
+            "xla_cache_hits_calib": _CACHE_COUNTS["hits"],
+            "xla_cache_misses_calib": (_CACHE_COUNTS["requests"]
+                                       - _CACHE_COUNTS["hits"]),
+            "pano": [geom.pano_h, geom.pano_w],
+            "_ctx": {"cfg": cfg, "geom": geom, "scene": scene,
+                     "frames": frames, "st": st}}
 
-    # warm calibration: the cold number is dominated by jit compiles of
-    # the feature/mesh programs (tools/profile_calibrate.py attributes
-    # ~90% of cold time to them); a second calibration in a warmed
-    # process measures the real recurring cost
-    st_w = Stitcher(cfg)
-    t0 = time.perf_counter()
-    st_w.calibrate(frames)
-    calib_warm_s = time.perf_counter() - t0
-    del st_w
 
-    # CPW mesh re-solve latency (the reference's "Rewarp",
-    # timed.cpp:427-451; target cadence RECALIB_DEL = 1 s, defs.h:48).
-    # Measured as the Runner runs it: on the staging thread's
-    # device-resident frames (no second upload of the frame set).
-    frames_dev = st.stage_frames(frames)
-    _sync(frames_dev)
-    st.recalibrate_mesh(frames_dev)          # warm the path
-    # best of 3 (same policy as throughput): the solve makes ~6 host<->
-    # device round trips, and on the tunnel-shared dev link each can
-    # swing 50 ms -> seconds between passes; the min reflects the path
-    rewarp_s = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        st.recalibrate_mesh(frames_dev)
-        rewarp_s = min(rewarp_s, time.perf_counter() - t0)
-
-    # fidelity vs ground truth (limited by the bilinear minification the
-    # compose-scale warp performs — the reference's remap does the same)
-    pano = st.stitch(frames)
-    valid = np.asarray(st.state.valid_mask) > 0
-    h = geom.pano_h
-    gt = np.moveaxis(scene, 0, -1)
-    sel = valid[h // 4:3 * h // 4]
-    fidelity = psnr(pano[h // 4:3 * h // 4][sel], gt[h // 4:3 * h // 4][sel])
-
-    # parity vs a gold implementation (BASELINE.md's "PSNR vs reference
-    # stitched output"): the XLA-gather + full-precision path, itself
-    # gold-tested against OpenCV semantics in tests/
-    from video_stitcher_tpu.pipeline.stitcher import stitch_pano
-    import functools as _ft
-    gold_step = jax.jit(_ft.partial(stitch_pano, geom=st.geom,
-                                    warp_static=None))
-    pano_gold = np.asarray(gold_step(jnp.asarray(frames), st.state))
-    parity = psnr(pano[valid > 0], pano_gold[valid > 0])
-
-    # parity vs the ACTUAL reference chain (cv2 CPU gold of
-    # calibration.cpp/timed.cpp; see tools/reference_gold.py). Parity is
-    # measured in map_convention="reference" (reproduce the reference's
-    # compose-intrinsics map chain, including its half-pixel bias —
-    # config.py map_convention) on the global-only state since the gold
-    # has no CPW mesh; the default product ("exact" maps) is what
-    # psnr_vs_scene_db measures against ground truth above.
-    sys.path.insert(0, "tools")
-    try:
-        import dataclasses
-        from reference_gold import psnr_vs_reference
-        st_ref = Stitcher(dataclasses.replace(cfg, enable_local=False,
-                                              map_convention="reference"))
-        st_ref.calibrate(frames)
-        gold_step_ref = jax.jit(_ft.partial(stitch_pano, geom=st_ref.geom,
-                                            warp_static=None))
-        pano_global = np.asarray(gold_step_ref(jnp.asarray(frames),
-                                               st_ref.state_global))
-        # fuse_maps=False replicates the reference's resize-then-warp
-        # two-resample chain; the default fused single-resample is
-        # deliberately sharper (costs ~1 dB of parity-PSNR while
-        # improving output quality — both numbers are reported)
-        st2 = Stitcher(dataclasses.replace(cfg, fuse_maps=False,
-                                           enable_local=False,
-                                           use_pallas_remap=False,
-                                           map_convention="reference"))
-        st2.calibrate(frames)
-        pano_pw = (st2.stitch(frames), st2.state.valid_mask)
-        # quantization-matched 16S twin (the BASELINE >=40 dB fidelity
-        # row): the reference's exact integer blend arithmetic applied to
-        # our warp, vs the integer gold — removes the gold's own ~37.6 dB
-        # quantization self-noise from the comparison
-        pano_i16 = st_ref.stitch_int16(frames, state=st_ref.state_global)
-        ref = psnr_vs_reference(st_ref, frames, pano=pano_global,
-                                named_panos={"_prewarp": pano_pw,
-                                             "_int16": (pano_i16,
-                                                        st_ref.state.valid_mask)})
-    except Exception as e:
-        ref = {"psnr_vs_reference_db": None, "error": str(e)[:200]}
-
-    state = st.state
-
-    def device_frame(fj):
-        # fused stitch+output program (what the live Runner drives)
-        return st.stitch_out(fj, device=True)
-
+def p_step():
+    """Device-side step throughput + fully-synced latency + the NV12
+    production-ingest twin. Builds the staged NV12 sets every Runner
+    phase reuses."""
+    import jax
+    st, frames = CTX["st"], CTX["frames"]
     fj = jax.device_put(frames)
     _sync(fj)
-    _sync(device_frame(fj))                        # warmup
+    _sync(st.stitch_out(fj, device=True))          # warmup/compile
 
-    # --- device-side throughput (upload excluded): back-to-back frames,
-    # one sync at the end — how the chip runs when the consumer isn't
-    # blocking on every frame. The axon dev tunnel adds ~25-40 ms to any
-    # per-frame host sync and uploads at only ~25 MB/s; neither is a
-    # property of production TPU hosts, so both are reported separately.
-    # best of 3 passes: the dev TPU is tunnel-shared and its effective
-    # rate swings up to ~3x between runs; the max reflects the hardware's
-    # capability (sharing can only slow a pass down, never speed it up)
-    n_iter = 16
+    fps, fps_med = _throughput(lambda: st.stitch_out(fj, device=True))
 
-    def _throughput(step):
-        # best AND median of 3 (VERDICT r2 weak #3): the max reflects the
-        # hardware capability on a tunnel-shared dev chip (sharing only
-        # ever slows a pass down); the median shows the run-to-run spread
-        passes = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = None
-            for _ in range(n_iter):
-                out = step()
-            _sync(out)
-            passes.append(n_iter / (time.perf_counter() - t0))
-        return max(passes), float(np.median(passes))
-
-    fps, fps_med = _throughput(lambda: device_frame(fj))
-
-    # --- per-frame fully-synced latency (includes tunnel round-trip) ---
     lat = []
     for _ in range(8):
         t = time.perf_counter()
-        _sync(device_frame(fj))
+        _sync(st.stitch_out(fj, device=True))
         lat.append(time.perf_counter() - t)
     p50_ms = float(np.percentile(np.array(lat) * 1000, 50))
 
-    # --- production NV12 ingest path (defs.h:10-17 capture format):
-    # half the upload bytes of RGB, planar conversion fused on device ---
+    # production NV12 ingest path (defs.h:10-17): half the upload bytes
     from video_stitcher_tpu.ops.color import rgb_to_nv12
     from video_stitcher_tpu.utils.hostdev import host_eager
     with host_eager():
@@ -401,201 +458,350 @@ def main():
     _sync(st.stitch_out(nv_j, device=True))        # warmup/compile
     fps_nv12, _ = _throughput(lambda: st.stitch_out(nv_j, device=True))
 
-    # --- host-fed throughput: staging thread device_puts the next NV12
-    # frame set while the current one computes (the Runner's
-    # double-buffered _stage_loop). On a production host the ~18 MB NV12
-    # upload (<2 ms at PCIe rates) hides entirely under the ~14 ms
-    # compute; on the dev tunnel (~25 MB/s) upload dominates, so this
-    # number is tunnel-bound and reported as such. ---
-    import queue as _pyq
-    import threading as _th
-    n_hf = 6
-    stage_q = _pyq.Queue(maxsize=2)
+    # staged device frame-set ring, built ONCE for all Runner phases
+    dev_sets = [jax.device_put(np.ascontiguousarray(
+        np.roll(nv12, 8 * k, axis=2))) for k in range(4)]
+    for d in dev_sets:
+        _sync(d)
+    return {"_headline_fps": fps,
+            "fps_median_of_3": round(fps_med, 2),
+            "p50_latency_ms": round(p50_ms, 2),
+            "fps_nv12_ingest": round(fps_nv12, 2),
+            "_ctx": {"nv12": nv12, "dev_sets": dev_sets}}
 
-    def _stager():
-        for _ in range(n_hf):
-            stage_q.put(jax.device_put(nv12))
 
-    th = _th.Thread(target=_stager)
-    t0 = time.perf_counter()
-    th.start()
-    out = None
-    for _ in range(n_hf):
-        out = st.stitch_out(stage_q.get(), device=True)
-    _sync(out)
-    fps_host_fed = n_hf / (time.perf_counter() - t0)
-    th.join()
+def p_runner():
+    """The PRODUCT loop, recalibration off: isolates the pipeline's own
+    overhead (queues, swap lock, staging, consumer) vs the step fps."""
+    r = _best_of(5, 60.0, CTX["cfg"], CTX["nv12"], n_frames=300,
+                 sync_every=64, queue_depth=32, recalib=False,
+                 stitcher=CTX["st"], dev_sets=CTX["dev_sets"])
+    return {"fps_runner_device_src": r.get("fps"),
+            "fps_runner_passes": r.get("passes"),
+            "fps_runner_windows": r.get("window_fps"),
+            "runner_sync_stalls": r.get("sync_stalls")}
 
-    # --- the PRODUCT: Runner-level sustained run (VERDICT r2 #2/#6).
-    # 300 frames through the full 3-stage pipeline (staging thread,
-    # bounded queues, swap lock, consumer) with the recalibration thread
-    # live: CPW re-solves + RECALIB_INTERP animations hot-swap state
-    # mid-run, exactly the reference's 30-frame FPS meter scenario
-    # (timed.cpp:372-381). Source is device-resident NV12 and the
-    # consumer forces completion every 16th frame (same methodology as
-    # the step throughput above — a per-frame 4-byte read costs one
-    # tunnel round trip and would measure the link, not the loop).
-    #
-    # Two throughput phases: recalib OFF isolates the LOOP's overhead
-    # (queues, swap lock, staging, consumer) vs the step fps; recalib ON
-    # measures the dip while CPW solves + interp animations run
-    # concurrently. On this 1-core dev box the recalib thread's host
-    # solve contends with the stitch thread for the only core (plus the
-    # tunnel RTTs), so the ON number is a worst case, not the product's.
-    # retry passes, keep the best, stop early once a pass is clearly
-    # clean (same tunnel-sharing rationale as the step's best-of-3 —
-    # measured tunnel freezes of 100+ s can land inside any single pass)
-    def _best_of(n, thresh, **kw):
-        # per-pass fps list is reported (VERDICT r3 weak #2): a reader can
-        # tell product regression from bad-host/tunnel luck
-        best, passes = {}, []
-        for _ in range(n):
-            r = _bench_runner(cfg, nv12, **kw)
-            passes.append(r.get("fps"))
-            if (r.get("fps") or 0) > (best.get("fps") or 0):
-                best = r
-            if (best.get("fps") or 0) >= thresh:
-                break
-        best["passes"] = passes
-        return best
 
-    # sync_every=64 + queue_depth=32: the consumer's completion sync is a
-    # full tunnel RTT; with a shallow queue, dispatch stalls behind it
-    # for RTT - depth/fps every sync (measured: the same runner loop
-    # swings 59 <-> 90 fps purely with the tunnel window). A deep queue
-    # lets dispatch run through the sync. The clock stays honest: fps is
-    # computed between SYNCED completion stamps only (true device
-    # completions; see _bench_runner).
-    runner_loop = _best_of(5, 0.85 * fps_nv12, n_frames=300,
-                           sync_every=64, queue_depth=32, recalib=False)
-    # recalib-on stats need a window long enough to prove the 1 s cadence
-    # (defs.h:48): at the loop's ~113 fps, 300 frames is under 3 s — 600
-    # frames gives the recalibration thread ~5 s to land >=4 installs
-    runner_stats = _best_of(3, 0.5 * fps_nv12, n_frames=600,
-                            sync_every=64, queue_depth=32)
-    # deployment-rate run: frames arrive at the 60 fps target (real
-    # cameras pace the pipeline; the reference's boards sleep 80 ms,
-    # networking.cpp:50). Flat-out, the loop saturates the chip and the
-    # solve's device work queues behind 113 fps of stitching — this run
-    # measures the cadence the PRODUCT achieves at its rated throughput.
-    runner_paced = _bench_runner(cfg, nv12, n_frames=600, sync_every=64,
-                                 queue_depth=32, pace_fps=60.0)
-
-    # latency phase: per-frame fully-synced end-to-end latency through
-    # the runner (includes one tunnel RTT per frame, like p50_latency_ms).
-    # queue_depth=1 is the latency-critical deployment configuration:
-    # deeper queues buy throughput by keeping frames in flight, so a
-    # frame's staged->done time then measures pipeline occupancy (depth/
-    # throughput), not the product's frame latency. Two passes, keep the
-    # lower p50 (tunnel-sharing rationale as above). Measured BOTH with
-    # recalibration off (the product's intrinsic frame latency — VERDICT
-    # r3 weak #1: the old bench only had the contended number) and on
-    # (worst case: CPW solves + interp swaps share the host).
-    def _lat_phase(recalib):
+def p_runner_latency():
+    """Per-frame fully-synced end-to-end latency through the runner,
+    queue_depth=1 (the latency-critical deployment shape), with
+    recalibration OFF (intrinsic) and ON (worst case)."""
+    def _lat(recalib):
         best = {}
         for _ in range(2):
-            r = _bench_runner(cfg, nv12, n_frames=60, sync_every=1,
-                              queue_depth=1, staging_depth=1,
-                              recalib=recalib)
+            r = _bench_runner(CTX["cfg"], CTX["nv12"], n_frames=60,
+                              sync_every=1, queue_depth=1, staging_depth=1,
+                              recalib=recalib, stitcher=CTX["st"],
+                              dev_sets=CTX["dev_sets"])
             if (r.get("p50_ms") or 9e9) < (best.get("p50_ms") or 9e9):
                 best = r
         return best
 
-    runner_lat_off = _lat_phase(False)
-    runner_lat = _lat_phase(True)
+    off, on = _lat(False), _lat(True)
+    return {"runner_p50_norecalib_ms": off.get("p50_ms"),
+            "runner_p99_norecalib_ms": off.get("p99_ms"),
+            "runner_worst_norecalib_ms": off.get("worst_ms"),
+            "runner_p50_ms": on.get("p50_ms"),
+            "runner_p99_ms": on.get("p99_ms"),
+            "runner_worst_ms": on.get("worst_ms"),
+            "runner_worst_swap_ms": on.get("worst_swap_ms"),
+            "runner_swap_install_ms_max": on.get("swap_install_ms_max")}
 
-    # --- loopback-TCP NV12 variant: fake capture boards stream over
-    # 127.0.0.1 into the real ingest server; tunnel-bound on this host
-    # (upload dominates), reported as such ---
-    runner_tcp = _bench_runner(cfg, nv12, n_frames=20, loopback=True)
 
-    # --- BASELINE config 4: 6-cam 4K -> 8K output with keep_aspect_ratio
-    # + add_black_bars (defs.h:39-40 scaled up; timed.cpp:254-292 policy).
-    # Global-warp throughput of the stitch+output program at 4K inputs —
-    # the CPW mesh path is scale-independent and measured above. The 4K
-    # frame upload is tunnel-bound, so this is device-resident like the
-    # step bench. ---
-    fps_4k = None
+def p_runner_paced():
+    """Deployment-rate run: frames arrive at the 60 fps target and the
+    recalibration cadence is measured at the product's rated throughput
+    (defs.h:48 RECALIB_DEL = 1 s). Multi-pass with per-pass reporting
+    (VERDICT r4 weak-3: the old single pass rested on one tunnel
+    window); pass criteria pinned to the north star: >= 55 fps paced
+    and cadence <= 1.5 s."""
+    best, passes = {}, []
+    for _ in range(3):
+        r = _bench_runner(CTX["cfg"], CTX["nv12"], n_frames=600,
+                          sync_every=64, queue_depth=32, pace_fps=60.0,
+                          stitcher=CTX["st"], dev_sets=CTX["dev_sets"])
+        passes.append({"fps": r.get("fps"), "recalibs": r.get("recalibs"),
+                       "period_s": r.get("recalib_period_s")})
+        if (r.get("fps") or 0) > (best.get("fps") or 0):
+            best = r
+        if ((r.get("fps") or 0) >= 55.0
+                and (r.get("recalib_period_s") or 9e9) <= 1.5):
+            best = r
+            break
+    return {"fps_runner_paced60": best.get("fps"),
+            "runner_paced_recalibs": best.get("recalibs"),
+            "runner_recalib_period_s": best.get("recalib_period_s"),
+            "runner_paced_passes": passes}
+
+
+def p_runner_recalib():
+    """Flat-out run with the recalibration thread live: the dip while
+    CPW solves + interp animations contend with the stitch loop. 600
+    frames gives the 1 s cadence ~5 s to land >= 4 installs."""
+    r = _best_of(3, 45.0, CTX["cfg"], CTX["nv12"], n_frames=600,
+                 sync_every=64, queue_depth=32, recalib=True,
+                 stitcher=CTX["st"], dev_sets=CTX["dev_sets"])
+    return {"fps_runner_recalib_on": r.get("fps"),
+            "fps_runner_recalib_on_passes": r.get("passes"),
+            "runner_recalibs": r.get("recalibs"),
+            "runner_recalib_period_flatout_s": r.get("recalib_period_s")}
+
+
+def p_psnr():
+    """Fidelity vs scene ground truth + parity vs the gold XLA chain +
+    parity vs the ACTUAL reference chain (cv2 CPU gold, measured in
+    map_convention='reference' which reproduces its map chain)."""
+    import dataclasses
+    import functools as _ft
+    import jax
+    import jax.numpy as jnp
+    from video_stitcher_tpu import Stitcher
+    from video_stitcher_tpu.pipeline.stitcher import stitch_pano
+    from test_stitch_e2e import psnr
+
+    st, cfg, geom = CTX["st"], CTX["cfg"], CTX["geom"]
+    frames, scene = CTX["frames"], CTX["scene"]
+
+    pano = st.stitch(frames)
+    valid = np.asarray(st.state.valid_mask) > 0
+    h = geom.pano_h
+    gt = np.moveaxis(scene, 0, -1)
+    sel = valid[h // 4:3 * h // 4]
+    fidelity = psnr(pano[h // 4:3 * h // 4][sel], gt[h // 4:3 * h // 4][sel])
+
+    gold_step = jax.jit(_ft.partial(stitch_pano, geom=st.geom,
+                                    warp_static=None))
+    pano_gold = np.asarray(gold_step(jnp.asarray(frames), st.state))
+    parity = psnr(pano[valid > 0], pano_gold[valid > 0])
+
+    out = {"psnr_vs_scene_db": round(float(fidelity), 2),
+           "psnr_vs_gold_db": round(float(parity), 2)}
+
+    sys.path.insert(0, "tools")
     try:
-        import dataclasses as _dc
-        import cv2 as _cv2
-        cfg4 = _dc.replace(cfg, input_width=3840, input_height=2160,
-                           output_width=7680, output_height=3840,
-                           keep_aspect_ratio=True, add_black_bars=True,
-                           enable_local=False)
-        frames4 = np.stack([_cv2.resize(f, (3840, 2160),
-                                        interpolation=_cv2.INTER_LINEAR)
-                            for f in frames])
-        st4 = Stitcher(cfg4)
-        st4.calibrate(frames4)
-        f4 = jax.device_put(frames4)
-        _sync(f4)
-        _sync(st4.stitch_out(f4, device=True))      # warmup/compile
-        fps_4k, _ = _throughput(lambda: st4.stitch_out(f4, device=True))
-        # the black-bar policy must hold at this config: out frame is
-        # pano-aspect height on a 7680-wide canvas
-        out4 = st4.stitch_out(f4)
-        assert out4.shape == (3840, 7680, 3), out4.shape
-        del st4, f4
+        from reference_gold import psnr_vs_reference
+        st_ref = Stitcher(dataclasses.replace(cfg, enable_local=False,
+                                              map_convention="reference"))
+        st_ref.calibrate(frames)
+        gold_step_ref = jax.jit(_ft.partial(stitch_pano, geom=st_ref.geom,
+                                            warp_static=None))
+        pano_global = np.asarray(gold_step_ref(jnp.asarray(frames),
+                                               st_ref.state_global))
+        # fuse_maps=False replicates the reference's resize-then-warp
+        # two-resample chain (the default fused single-resample is
+        # deliberately sharper; both numbers reported)
+        st2 = Stitcher(dataclasses.replace(cfg, fuse_maps=False,
+                                           enable_local=False,
+                                           use_pallas_remap=False,
+                                           map_convention="reference"))
+        st2.calibrate(frames)
+        pano_pw = (st2.stitch(frames), st2.state.valid_mask)
+        # quantization-matched 16S twin (BASELINE >= 40 dB fidelity row)
+        pano_i16 = st_ref.stitch_int16(frames, state=st_ref.state_global)
+        ref = psnr_vs_reference(st_ref, frames, pano=pano_global,
+                                named_panos={"_prewarp": pano_pw,
+                                             "_int16": (pano_i16,
+                                                        st_ref.state.valid_mask)})
+        for k in ("psnr_vs_reference_db", "psnr_vs_reference_f32_db",
+                  "psnr_vs_reference_int16_db",
+                  "psnr_vs_reference_prewarp_f32_db",
+                  "reference_int_vs_f32_db"):
+            out[k] = ref.get(k)
     except Exception as e:
-        print(f"4k->8k phase failed: {e}", file=sys.stderr)
+        out["psnr_vs_reference_db"] = None
+        out["psnr_reference_error"] = str(e)[:200]
+    return out
 
-    # --- H2D upload cost on this link (measured, not assumed) ---
+
+def p_4k():
+    """BASELINE config 4: 6-cam 4K -> 8K with keep_aspect_ratio +
+    add_black_bars (defs.h:39-40 scaled; timed.cpp:254-292 policy) —
+    step throughput, device-resident like the step bench."""
+    import dataclasses
+    import cv2
+    import jax
+    from video_stitcher_tpu import Stitcher
+
+    w4, h4 = ((1280, 720) if os.environ.get("BENCH_SMALL")
+              else (3840, 2160))
+    ow4, oh4 = (2 * w4, h4) if os.environ.get("BENCH_SMALL") \
+        else (7680, 3840)
+    cfg4 = dataclasses.replace(CTX["cfg"], input_width=w4,
+                               input_height=h4, output_width=ow4,
+                               output_height=oh4, keep_aspect_ratio=True,
+                               add_black_bars=True, enable_local=False)
+    frames4 = np.stack([cv2.resize(f, (w4, h4),
+                                   interpolation=cv2.INTER_LINEAR)
+                        for f in CTX["frames"]])
+    st4 = Stitcher(cfg4)
+    st4.calibrate(frames4)
+    from video_stitcher_tpu.ops.color import rgb_to_nv12
+    from video_stitcher_tpu.utils.hostdev import host_eager
+    with host_eager():
+        nv4 = np.stack([np.asarray(rgb_to_nv12(f)) for f in frames4])
+    f4 = jax.device_put(nv4)
+    _sync(f4)
+    _sync(st4.stitch_out(f4, device=True))         # warmup/compile
+    fps_4k, _ = _throughput(lambda: st4.stitch_out(f4, device=True))
+    # the black-bar policy must hold at this config: pano-aspect frame
+    # centered on the output canvas (timed.cpp:285-292)
+    out4 = st4.stitch_out(f4)
+    assert out4.shape == (oh4, ow4, 3), out4.shape
+    fh = st4._out_size()[0]
+    if fh < oh4:                    # bars exist at this aspect
+        y0 = oh4 // 2 - fh // 2
+        assert out4[:max(1, y0 - 1)].max() == 0, "top bar not black"
+        assert out4[y0 + fh + 1:].max() == 0, "bottom bar not black"
+    return {"fps_4k_to_8k": round(fps_4k, 2),
+            "_ctx": {"st4": st4, "cfg4": cfg4, "nv4": nv4}}
+
+
+def p_runner_4k():
+    """4K -> 8K measured THROUGH the Runner (VERDICT r4 next-5), not
+    just the step program: full pipeline loop at the product's biggest
+    config."""
+    r = _best_of(3, 60.0, CTX["cfg4"], CTX["nv4"], n_frames=120,
+                 sync_every=32, queue_depth=16, recalib=False,
+                 stitcher=CTX["st4"])
+    return {"fps_runner_4k": r.get("fps"),
+            "fps_runner_4k_passes": r.get("passes")}
+
+
+def p_soak():
+    """All-features-on soak (VERDICT r4 next-8): framed TCP ingest +
+    live recalibration + update_masks + real PCM HEVC egress to a
+    loopback drain — the reference's actual deployment shape, every
+    subsystem live simultaneously. On the dev tunnel this path is
+    upload+download-bound (every frame crosses the link twice plus the
+    egress encode), so soak_fps is a tunnel number, not the product's;
+    what this phase proves is integration: frames flow, recalibs land,
+    egress streams, nothing deadlocks, drops are counted."""
+    import dataclasses
+    import socket
+    import threading as th
+    from video_stitcher_tpu.io_plane.egress import PlayerEgress
+
+    # loopback player: accept + drain + count bytes
+    drained = {"bytes": 0, "conns": 0}
+    lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(1)
+    port = lsock.getsockname()[1]
+    stop = th.Event()
+
+    def player():
+        lsock.settimeout(1.0)
+        while not stop.is_set():
+            try:
+                c, _ = lsock.accept()
+            except socket.timeout:
+                continue
+            drained["conns"] += 1
+            c.settimeout(1.0)
+            while not stop.is_set():
+                try:
+                    b = c.recv(1 << 20)
+                except socket.timeout:
+                    continue
+                except OSError:
+                    break
+                if not b:
+                    break
+                drained["bytes"] += len(b)
+            c.close()
+        lsock.close()
+
+    pt = th.Thread(target=player, daemon=True)
+    pt.start()
+
+    cfg_s = dataclasses.replace(CTX["cfg"], update_masks=True,
+                                player_address="127.0.0.1",
+                                player_tcp_port=port)
+    egress = PlayerEgress(cfg_s, encoder="hevc")
+    try:
+        r = _bench_runner(cfg_s, CTX["nv12"], n_frames=25, loopback=True,
+                          framed=True, recalib=True, stitcher=CTX["st"],
+                          egress=egress)
+    finally:
+        stop.set()
+        pt.join(timeout=3)
+    return {"soak_fps_devtunnel": r.get("fps"),
+            "soak_frames": r.get("frames"),
+            "soak_recalibs": r.get("recalibs"),
+            "soak_egress_mb": round(drained["bytes"] / 1e6, 1),
+            "soak_egress_conns": drained["conns"],
+            "soak_sync_stalls": r.get("sync_stalls"),
+            "soak_error": r.get("error")}
+
+
+def p_aux():
+    """Warm calibration, rewarp latency, H2D cost, loopback-TCP runner."""
+    import jax
+    from video_stitcher_tpu import Stitcher
+    st, cfg, frames = CTX["st"], CTX["cfg"], CTX["frames"]
+    out = {}
+
+    st_w = Stitcher(cfg)
+    t0 = time.perf_counter()
+    st_w.calibrate(frames)
+    out["calibration_warm_s"] = round(time.perf_counter() - t0, 2)
+    del st_w
+
+    # CPW mesh re-solve latency (the reference's "Rewarp",
+    # timed.cpp:427-451; target cadence RECALIB_DEL = 1 s, defs.h:48),
+    # measured as the Runner runs it: on device-resident frames
+    frames_dev = st.stage_frames(frames)
+    _sync(frames_dev)
+    st.recalibrate_mesh(frames_dev)                # warm the path
+    rewarp_s = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st.recalibrate_mesh(frames_dev)
+        rewarp_s = min(rewarp_s, time.perf_counter() - t0)
+    out["rewarp_s"] = round(rewarp_s, 2)
+
     up = []
     for _ in range(3):
         t = time.perf_counter()
         _sync(jax.device_put(frames))
         up.append(time.perf_counter() - t)
-    h2d_ms = float(np.median(np.array(up) * 1000))
+    out["h2d_upload_ms_devtunnel"] = round(
+        float(np.median(np.array(up) * 1000)), 1)
 
-    print(json.dumps({
-        "metric": "stitched_fps_6cam_1080p_to_4k",
-        "value": round(fps, 2),
-        "unit": "fps",
-        "vs_baseline": round(fps / 60.0, 3),
-        "fps_median_of_3": round(fps_med, 2),
-        "fps_nv12_ingest": round(fps_nv12, 2),
-        "fps_host_fed_nv12_devtunnel": round(fps_host_fed, 2),
-        "fps_runner_device_src": runner_loop.get("fps"),
-        "fps_runner_passes": runner_loop.get("passes"),
-        "fps_runner_windows": runner_loop.get("window_fps"),
-        "fps_runner_recalib_on": runner_stats.get("fps"),
-        "fps_runner_recalib_on_passes": runner_stats.get("passes"),
-        "runner_p50_norecalib_ms": runner_lat_off.get("p50_ms"),
-        "runner_p99_norecalib_ms": runner_lat_off.get("p99_ms"),
-        "runner_worst_norecalib_ms": runner_lat_off.get("worst_ms"),
-        "runner_p50_ms": runner_lat.get("p50_ms"),
-        "runner_p99_ms": runner_lat.get("p99_ms"),
-        "runner_worst_ms": runner_lat.get("worst_ms"),
-        "runner_worst_swap_ms": runner_lat.get("worst_swap_ms"),
-        "runner_swap_install_ms_max": runner_lat.get("swap_install_ms_max"),
-        "runner_recalibs": runner_stats.get("recalibs"),
-        "runner_recalib_period_flatout_s": runner_stats.get(
-            "recalib_period_s"),
-        "fps_runner_paced60": runner_paced.get("fps"),
-        "runner_paced_recalibs": runner_paced.get("recalibs"),
-        "runner_recalib_period_s": runner_paced.get("recalib_period_s"),
-        "fps_runner_loopback_devtunnel": runner_tcp.get("fps"),
-        "fps_4k_to_8k": round(fps_4k, 2) if fps_4k else None,
-        "p50_latency_ms": round(p50_ms, 2),
-        "h2d_upload_ms_devtunnel": round(h2d_ms, 1),
-        "tunnel_upload_mbps": round(up_mbps, 1),
-        "tunnel_rtt_ms": round(rtt_ms, 1),
-        "psnr_vs_gold_db": round(float(parity), 2),
-        "psnr_vs_scene_db": round(float(fidelity), 2),
-        "psnr_vs_reference_int16_db": ref.get("psnr_vs_reference_int16_db"),
-        "psnr_vs_reference_db": ref.get("psnr_vs_reference_db"),
-        "psnr_vs_reference_f32_db": ref.get("psnr_vs_reference_f32_db"),
-        "psnr_vs_reference_prewarp_f32_db":
-            ref.get("psnr_vs_reference_prewarp_f32_db"),
-        "reference_int_vs_f32_db": ref.get("reference_int_vs_f32_db"),
-        "calibration_s": round(calib_s, 2),
-        "calibration_warm_s": round(calib_warm_s, 2),
-        "rewarp_s": round(rewarp_s, 2),
-        "pano": [geom.pano_h, geom.pano_w],
-        "host_cpus": __import__("os").cpu_count(),
-        "device": str(jax.devices()[0]),
-    }))
+    r = _bench_runner(cfg, CTX["nv12"], n_frames=20, loopback=True,
+                      stitcher=st)
+    out["fps_runner_loopback_devtunnel"] = r.get("fps")
+    return out
+
+
+def main():
+    devsync.MAX_STALLED = 64        # phases may strand many small syncs
+    signal.signal(signal.SIGTERM, _finish)
+    signal.signal(signal.SIGALRM, _finish)
+    signal.alarm(max(30, int(BUDGET_S)))
+    _enable_compile_cache()
+
+    phase("probe", 120, p_probe)
+    calib = phase("calib", 300, p_calib)
+    if calib is None and _remaining() > 420:
+        # the tunnel wedges for minutes at a time; one recovery retry
+        time.sleep(45)
+        calib = phase("calib_retry", 240, p_calib)
+        if calib is not None:
+            FAILED.discard("calib")       # satisfy downstream needs
+            PHASES_DONE.append("calib")
+    phase("step", 240, p_step, needs=("calib",))
+    phase("runner", 200, p_runner, needs=("step",))
+    phase("runner_latency", 180, p_runner_latency, needs=("step",))
+    phase("runner_paced", 150, p_runner_paced, needs=("step",))
+    phase("runner_recalib", 150, p_runner_recalib, needs=("step",))
+    phase("psnr", 300, p_psnr, needs=("calib",))
+    phase("fps_4k", 240, p_4k, needs=("calib",))
+    phase("runner_4k", 180, p_runner_4k, needs=("fps_4k",))
+    phase("soak", 200, p_soak, needs=("step",))
+    phase("aux", 240, p_aux, needs=("step",))
+    _finish()
 
 
 if __name__ == "__main__":
