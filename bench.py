@@ -719,6 +719,13 @@ def p_soak():
                                 player_address="127.0.0.1",
                                 player_tcp_port=port)
     egress = PlayerEgress(cfg_s, encoder="hevc")
+    # record which hevc layer serves (in-process x265 -> subprocess ->
+    # built-in I_PCM)
+    from video_stitcher_tpu.io_plane import hevc_lavc
+    probe = hevc_lavc.create_encoder(64, 64)
+    enc_kind = "x265" if probe is not None else "pcm"
+    if probe is not None:
+        probe.close()
     try:
         r = _bench_runner(cfg_s, CTX["nv12"], n_frames=25, loopback=True,
                           framed=True, recalib=True, stitcher=CTX["st"],
@@ -731,6 +738,7 @@ def p_soak():
             "soak_recalibs": r.get("recalibs"),
             "soak_egress_mb": round(drained["bytes"] / 1e6, 1),
             "soak_egress_conns": drained["conns"],
+            "soak_encoder": enc_kind,
             "soak_sync_stalls": r.get("sync_stalls"),
             "soak_error": r.get("error")}
 

@@ -257,8 +257,12 @@ def test_hevc_pipeline_integrity_and_reconnect(tmp_path, monkeypatch):
     import time
     import zlib
 
+    from video_stitcher_tpu.io_plane import hevc_lavc
     from video_stitcher_tpu.ops.color import rgb_to_i420
 
+    # pin the SUBPROCESS layer: the in-process x265 encoder outranks it
+    # in the hevc selection chain and would otherwise be chosen
+    monkeypatch.setattr(hevc_lavc, "create_encoder", lambda *a, **k: None)
     _install_fake_kvazaar(tmp_path, monkeypatch)
     player = _FakePlayer()
     cfg = StitcherConfig(num_images=2, player_address="127.0.0.1",

@@ -154,10 +154,14 @@ def test_egress_hevc_falls_back_to_builtin(tmp_path, monkeypatch):
     import threading
 
     from video_stitcher_tpu.config import StitcherConfig
+    from video_stitcher_tpu.io_plane import hevc_lavc
     from video_stitcher_tpu.io_plane.egress import PlayerEgress
     from video_stitcher_tpu.ops.color import rgb_to_i420
 
     monkeypatch.setattr(shutil, "which", lambda name: None)
+    # pin the BUILT-IN layer: both the in-process x265 encoder and the
+    # subprocess layer outrank it in the hevc selection chain
+    monkeypatch.setattr(hevc_lavc, "create_encoder", lambda *a, **k: None)
 
     listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)

@@ -5,15 +5,18 @@ height prelude once (the player places the image on its sphere), encoded
 frames streamed over TCP, reconnect-on-failure with encoder reopen.
 
 The reference links kvazaar for HEVC; encoding here is pluggable:
-  * "hevc"  — kvazaar or ffmpeg subprocess when available; otherwise the
-              built-in spec-compliant I_PCM encoder (io_plane/hevc_pcm.py,
-              lossless, always available)
+  * "hevc"  — three-layer chain: in-process x265 via the system
+              libavcodec (real compression, io_plane/hevc_lavc.py) ->
+              kvazaar/ffmpeg subprocess -> built-in spec-compliant
+              I_PCM encoder (io_plane/hevc_pcm.py, lossless, always
+              available)
   * "mjpeg" — cv2.imencode JPEG per frame (always available)
-  * "raw"   — raw I420 bytes (device-converted via ops/color.rgb_to_i420)
+  * "raw"   — raw I420 bytes (native host conversion, _to_i420)
 """
 
 from __future__ import annotations
 
+import ctypes
 import shutil
 import socket
 import struct
@@ -224,6 +227,50 @@ class PlayerEgress:
             self._enc = None
 
     # --- frame path ----------------------------------------------------
+    def _pad_even(self, frame_rgb: np.ndarray) -> np.ndarray:
+        """4:2:0 needs even dims; the output aspect policy
+        (timed.cpp:254-292) can produce odd heights. Edge-pad one
+        row/col — the same thing kvazaar's conformance-window padding
+        does internally. Applied BEFORE the height prelude so the
+        advertised height matches the decoded frames."""
+        h, w = frame_rgb.shape[:2]
+        if self.encoder_kind in ("hevc", "raw") and ((h | w) & 1):
+            frame_rgb = np.pad(frame_rgb,
+                               ((0, h & 1), (0, w & 1), (0, 0)),
+                               mode="edge")
+        return frame_rgb
+
+    @staticmethod
+    def _to_i420(frame_rgb: np.ndarray) -> np.ndarray:
+        """RGB u8 -> flat I420 u8, HOST-side: the native replica of
+        ops/color.rgb_to_i420 (bit-exact; see stitchio.cpp), numpy f32
+        fallback. The jax op is deliberately NOT used here — on a
+        tunneled TPU backend it costs a device round trip per frame,
+        and eager CPU measured 1.1 s per 4K frame."""
+        frame_rgb = np.ascontiguousarray(frame_rgb)
+        h, w = frame_rgb.shape[:2]
+        from video_stitcher_tpu.io_plane import native as _native
+        lib = _native.load()
+        if lib is not None and hasattr(lib, "stitchio_rgb_to_i420"):
+            out = np.empty(h * 3 // 2 * w, np.uint8)
+            lib.stitchio_rgb_to_i420(
+                frame_rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                h, w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            return out
+        # numpy fallback: same f32 op order as ops/color.rgb_to_i420
+        x = frame_rgb.astype(np.float32)
+        r, g, b = x[..., 0], x[..., 1], x[..., 2]
+        y = np.float32(0.256788) * r + np.float32(0.504129) * g \
+            + np.float32(0.097906) * b + np.float32(16.0)
+        u = np.float32(-0.148223) * r - np.float32(0.290993) * g \
+            + np.float32(0.439216) * b + np.float32(128.0)
+        v = np.float32(0.439216) * r - np.float32(0.367788) * g \
+            - np.float32(0.071427) * b + np.float32(128.0)
+        yp = np.clip(np.rint(y), 0, 255).astype(np.uint8)
+        up = np.clip(np.rint(u[0::2, 0::2]), 0, 255).astype(np.uint8)
+        vp = np.clip(np.rint(v[0::2, 0::2]), 0, 255).astype(np.uint8)
+        return np.concatenate([yp.ravel(), up.ravel(), vp.ravel()])
+
     def _encode(self, frame_rgb: np.ndarray) -> bytes:
         h, w = frame_rgb.shape[:2]
         if self.encoder_kind == "mjpeg":
@@ -235,20 +282,25 @@ class PlayerEgress:
                 raise RuntimeError("jpeg encode failed")
             return struct.pack("<I", len(data)) + data.tobytes()
         if self.encoder_kind == "raw":
-            from video_stitcher_tpu.ops.color import rgb_to_i420
-            return np.asarray(rgb_to_i420(frame_rgb)).tobytes()
-        # hevc subprocess with reader thread + Annex-B unit framing; may
-        # legitimately return b"" while the encoder's lookahead fills.
-        # With no encoder binary in the image, the built-in I_PCM encoder
-        # takes over (same duck type; synchronous, lossless).
+            return self._to_i420(frame_rgb).tobytes()
+        # hevc selection chain (all the same duck type):
+        #   1. in-process x265 via the system libavcodec — REAL
+        #      compression, the reference's in-process-kvazaar shape
+        #      (timed.cpp:198-229), no subprocess;
+        #   2. kvazaar/ffmpeg subprocess with reader thread + Annex-B
+        #      framing (may return b"" while its lookahead fills);
+        #   3. built-in spec-compliant I_PCM encoder (lossless mux,
+        #      always available).
         if self._enc is None:
-            try:
-                self._enc = HevcEncoder(w, h)
-            except RuntimeError:
-                from video_stitcher_tpu.io_plane import hevc_pcm
-                self._enc = hevc_pcm.create(w, h)
-        from video_stitcher_tpu.ops.color import rgb_to_i420
-        return self._enc.encode(np.asarray(rgb_to_i420(frame_rgb)).tobytes())
+            from video_stitcher_tpu.io_plane import hevc_lavc
+            self._enc = hevc_lavc.create_encoder(w, h)
+            if self._enc is None:
+                try:
+                    self._enc = HevcEncoder(w, h)
+                except RuntimeError:
+                    from video_stitcher_tpu.io_plane import hevc_pcm
+                    self._enc = hevc_pcm.create(w, h)
+        return self._enc.encode(self._to_i420(frame_rgb).tobytes())
 
     def _sock_or_closed(self) -> socket.socket:
         """Local snapshot of the socket: close() from another thread sets
@@ -265,6 +317,7 @@ class PlayerEgress:
         (timed.cpp:331-348). Raises RuntimeError after/during close()."""
         if self._closed:
             raise RuntimeError("egress closed")
+        frame_rgb = self._pad_even(frame_rgb)
         if self.sock is None:
             self.connect()
         sock = self._sock_or_closed()

@@ -96,6 +96,9 @@ def _configure_stitchio(lib: ctypes.CDLL) -> None:
     lib.stitchio_nv12_to_rgb.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8)]
+    lib.stitchio_rgb_to_i420.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8)]
 
 
 def load() -> Optional[ctypes.CDLL]:

@@ -24,6 +24,7 @@
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
+#include <cmath>
 #include <cstring>
 #include <deque>
 #include <memory>
@@ -421,5 +422,54 @@ void stitchio_nv12_to_rgb(const uint8_t* nv12, int width, int height,
         }
     }
 }
+
+// --- packed RGB -> I420 (BT.601 studio swing), egress fast path ----------
+// The egress encoders (x265 / I_PCM / raw) take I420; converting with
+// the default jax backend would cost a device round trip per frame on a
+// tunneled TPU (and ~1.1 s/frame eager on the 1-core host). This is a
+// BIT-EXACT replica of ops/color.py rgb_to_i420: identical f32 op
+// order, round-half-to-even, cv's top-left 2x2 chroma subsample — the
+// file is compiled with fp-contract off so gcc can't fuse what XLA
+// doesn't (timed.cpp:311's cvtColor(BGR2YUV_I420) analog).
+#pragma GCC push_options
+#pragma GCC optimize("fp-contract=off")
+void stitchio_rgb_to_i420(const uint8_t* rgb, int height, int width,
+                          uint8_t* out) {
+    uint8_t* yp = out;
+    uint8_t* up = out + static_cast<size_t>(width) * height;
+    uint8_t* vp = up + static_cast<size_t>(width / 2) * (height / 2);
+    for (int y = 0; y < height; ++y) {
+        const uint8_t* row = rgb + static_cast<size_t>(y) * width * 3;
+        const bool crow = (y & 1) == 0;
+        for (int x = 0; x < width; ++x) {
+            const float r = row[x * 3 + 0];
+            const float g = row[x * 3 + 1];
+            const float b = row[x * 3 + 2];
+            float Y = 0.256788f * r + 0.504129f * g + 0.097906f * b
+                      + 16.0f;
+            Y = std::nearbyint(Y);
+            yp[x] = static_cast<uint8_t>(std::min(255.f,
+                                                  std::max(0.f, Y)));
+            if (crow && (x & 1) == 0) {
+                float U = -0.148223f * r - 0.290993f * g
+                          + 0.439216f * b + 128.0f;
+                float V = 0.439216f * r - 0.367788f * g
+                          - 0.071427f * b + 128.0f;
+                U = std::nearbyint(U);
+                V = std::nearbyint(V);
+                up[x / 2] = static_cast<uint8_t>(
+                    std::min(255.f, std::max(0.f, U)));
+                vp[x / 2] = static_cast<uint8_t>(
+                    std::min(255.f, std::max(0.f, V)));
+            }
+        }
+        yp += width;
+        if (crow) {
+            up += width / 2;
+            vp += width / 2;
+        }
+    }
+}
+#pragma GCC pop_options
 
 }  // extern "C"
