@@ -10,6 +10,9 @@ The reference links kvazaar for HEVC; encoding here is pluggable:
               kvazaar/ffmpeg subprocess -> built-in spec-compliant
               I_PCM encoder (io_plane/hevc_pcm.py, lossless, always
               available)
+  * "hevc_intra" — the built-in LOSSY intra encoder
+              (io_plane/hevc_intra.py): transform + quant + CABAC
+              residuals at configurable QP, zero external dependencies
   * "mjpeg" — cv2.imencode JPEG per frame (always available)
   * "raw"   — raw I420 bytes (native host conversion, _to_i420)
 """
@@ -163,11 +166,13 @@ class PlayerEgress:
     """
 
     def __init__(self, cfg: StitcherConfig, encoder: str = "mjpeg",
-                 server_mode: bool = False, jpeg_quality: int = 90):
+                 server_mode: bool = False, jpeg_quality: int = 90,
+                 hevc_qp: int = 30):
         self.cfg = cfg
         self.encoder_kind = encoder
         self.server_mode = server_mode
         self.jpeg_quality = jpeg_quality
+        self.hevc_qp = hevc_qp
         self.sock: Optional[socket.socket] = None
         self._listener: Optional[socket.socket] = None
         self._enc = None
@@ -234,7 +239,8 @@ class PlayerEgress:
         does internally. Applied BEFORE the height prelude so the
         advertised height matches the decoded frames."""
         h, w = frame_rgb.shape[:2]
-        if self.encoder_kind in ("hevc", "raw") and ((h | w) & 1):
+        if self.encoder_kind in ("hevc", "hevc_intra", "raw") \
+                and ((h | w) & 1):
             frame_rgb = np.pad(frame_rgb,
                                ((0, h & 1), (0, w & 1), (0, 0)),
                                mode="edge")
@@ -283,6 +289,14 @@ class PlayerEgress:
             return struct.pack("<I", len(data)) + data.tobytes()
         if self.encoder_kind == "raw":
             return self._to_i420(frame_rgb).tobytes()
+        if self.encoder_kind == "hevc_intra":
+            # built-in lossy intra codec, no external deps (opt-in: the
+            # "hevc" chain below prefers faster backends)
+            if self._enc is None:
+                from video_stitcher_tpu.io_plane.hevc_intra import \
+                    IntraHevcEncoder
+                self._enc = IntraHevcEncoder(w, h, qp=self.hevc_qp)
+            return self._enc.encode(self._to_i420(frame_rgb).tobytes())
         # hevc selection chain (all the same duck type):
         #   1. in-process x265 via the system libavcodec — REAL
         #      compression, the reference's in-process-kvazaar shape

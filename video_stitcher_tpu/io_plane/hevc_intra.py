@@ -1,0 +1,566 @@
+"""Built-in LOSSY HEVC encoder: Main profile, all-intra, DC prediction,
+4x4 transform + quantization + full CABAC residual coding.
+
+Completes the in-tree codec story (VERDICT r4 #3): hevc_pcm.py gives a
+lossless mux at ~1.5 B/px; this module adds a real entropy-coded intra
+mode — transform + quant + context-coded residuals — with NO external
+dependency, at configurable QP. The reference ships kvazaar
+(timed.cpp:198-229); the selection chain in io_plane/egress.py prefers
+the in-process x265 when the system libavcodec carries it, but this
+encoder keeps compressed egress available on ANY image.
+
+Design (chosen so the only CABAC surface is the 4x4 residual kernel):
+  * CTB = MinCb = 16 -> no split_cu_flag syntax at all.
+  * Every CU: intra 2Nx2N, luma + chroma predicted in INTRA_DC mode.
+    With neighbors absent OR DC-coded, the MPM list is always
+    {Planar, DC, Ang26}, so the mode codes as prev_flag=1 + mpm_idx=1
+    for every PU — two bins.
+  * Max transform size = MIN transform size = 4: the transform tree
+    splits 16->8->4 with every split_transform_flag INFERRED (7.4.9.8),
+    so TUs are always 4x4: one coefficient group, no
+    coded_sub_block_flag, no last-position suffixes.
+  * DC intra prediction per 8.4.4.2.5 (incl. the luma edge filter and
+    the 8.4.4.2.2 reference-substitution process), recon loop
+    decoder-exact: dequant (8.6.3) + inverse DST/DCT (8.6.4) at 16-bit
+    clipping, so the emitted stream's reconstruction equals ours
+    bit-for-bit (asserted against FFmpeg's decoder in tests).
+  * Deblocking disabled in the PPS, SAO off: decoder output == recon.
+
+Context tables are ITU-T H.265 spec constants (Tables 9-4ff; init
+values cross-checked against the system libavcodec's hevc decoder —
+the authority any output must satisfy). Arithmetic engine (9.3.4.3)
+is shared with the I_PCM encoder (io_plane/hevc_pcm.py); this module
+adds the bypass-bin encoder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from video_stitcher_tpu.io_plane.hevc_pcm import (
+    _Bits, _Cabac, _ep_escape, _nal, _profile_tier_level)
+
+# ------------------------------------------------------------- tables
+# Context-variable init values, I slices (initType 0) — H.265 9.3.2.2
+_INIT_PART_MODE = 184
+_INIT_PREV_INTRA = 184
+_INIT_CHROMA_MODE = 63
+_INIT_CBF_LUMA = (111, 141)          # ctxInc = trafoDepth == 0 ? 1 : 0
+_INIT_CBF_CBCR = (94, 138, 182)      # ctxInc = trafoDepth
+_INIT_LAST_XY = (110, 110, 124, 125, 140, 153, 125, 127, 140, 109, 111,
+                 143, 127, 111, 79, 108, 123, 63)   # x and y share inits
+_INIT_SIG = (111, 111, 125, 110, 110, 94, 124, 108, 124, 107, 125, 141,
+             179, 153, 125, 107, 125, 141, 179, 153, 125, 107, 125, 141,
+             179, 153, 125, 140, 139, 182, 182, 152, 136, 152, 136, 153,
+             136, 139, 111, 136, 139, 111, 141, 111)
+_INIT_GT1 = (140, 92, 137, 138, 140, 152, 138, 139, 153, 74, 149, 92,
+             139, 107, 122, 152, 140, 179, 166, 182, 140, 227, 122, 197)
+_INIT_GT2 = (138, 153, 136, 167, 152, 152)
+
+#: sig_coeff_flag 4x4 position -> context (Table 9-39 ctxIdxMap),
+#: indexed y*4+x; chroma adds 27
+_SIG_CTX_MAP = (0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8)
+
+#: up-right diagonal scan, scan position -> (x, y) (6.5.3)
+_DIAG4 = ((0, 0), (0, 1), (1, 0), (0, 2), (1, 1), (2, 0), (0, 3),
+          (1, 2), (2, 1), (3, 0), (1, 3), (2, 2), (3, 1), (2, 3),
+          (3, 2), (3, 3))
+
+#: dequant level scale (8.6.3)
+_LEV_SCALE = (40, 45, 51, 57, 64, 72)
+#: forward quant scale (the encoder-side reciprocal; HM convention)
+_QUANT_SCALE = (26214, 23302, 20560, 18396, 16384, 14564)
+
+#: 4x4 DST-VII (luma intra) and DCT-II transform matrices (8.6.4)
+_DST4 = np.array([[29, 55, 74, 84],
+                  [74, 74, 0, -74],
+                  [84, -29, -74, 55],
+                  [55, -84, 74, -29]], np.int64)
+_DCT4 = np.array([[64, 64, 64, 64],
+                  [83, 36, -36, -83],
+                  [64, -64, -64, 64],
+                  [36, -83, 83, -36]], np.int64)
+
+#: chroma QP mapping for qPi in [30, 42] (Table 8-10); below: identity,
+#: above: qPi - 6
+_QPC_TAB = (29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37)
+
+_CTB = 16                 # CTB = MinCb: no split_cu flags
+_MINTB = 4                # min == max TB: all transform splits inferred
+
+
+def _ctx_init(init_value: int, qp: int):
+    """9.3.2.2: init value -> [pStateIdx, valMps]."""
+    slope = (init_value >> 4) * 5 - 45
+    offset = ((init_value & 15) << 3) - 16
+    pre = min(126, max(1, ((slope * min(51, max(0, qp))) >> 4) + offset))
+    if pre <= 63:
+        return [63 - pre, 0]
+    return [pre - 64, 1]
+
+
+def _chroma_qp(qp_y: int) -> int:
+    q = min(57, max(0, qp_y))
+    if q < 30:
+        return q
+    if q > 42:
+        return q - 6
+    return _QPC_TAB[q - 30]
+
+
+def _fwd_xform(res: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """Forward 4x4 transform (encoder side; decoder never sees this)."""
+    add1 = 1 << 0
+    t = (mat @ res.astype(np.int64) + add1) >> 1        # shift1 = 1
+    add2 = 1 << 7
+    return (t @ mat.T + add2) >> 8                      # shift2 = 8
+
+
+def _inv_xform(coef: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """Decoder-exact inverse 4x4 transform (8.6.4): columns then rows,
+    16-bit clip between stages."""
+    t = (mat.T @ coef.astype(np.int64) + 64) >> 7
+    t = np.clip(t, -32768, 32767)
+    r = (t @ mat + 2048) >> 12
+    return np.clip(r, -32768, 32767)
+
+
+def _dequant(level: np.ndarray, qp: int) -> np.ndarray:
+    """8.6.3 at nTbS=4, 8-bit, no scaling lists (m = 16): bdShift = 5."""
+    d = (level.astype(np.int64) * (16 * _LEV_SCALE[qp % 6])) << (qp // 6)
+    d = (d + 16) >> 5
+    return np.clip(d, -32768, 32767)
+
+
+def _quant(coef: np.ndarray, qp: int) -> np.ndarray:
+    """Encoder forward quant (HM convention, intra rounding 171/512)."""
+    qbits = 19 + qp // 6
+    f = 171 << (qbits - 9)
+    level = (np.abs(coef.astype(np.int64)) * _QUANT_SCALE[qp % 6] + f) \
+        >> qbits
+    return (np.sign(coef) * level).astype(np.int64)
+
+
+class _Ctx:
+    """All context variables for one slice, initialized at slice QP."""
+
+    def __init__(self, qp: int):
+        self.part_mode = _ctx_init(_INIT_PART_MODE, qp)
+        self.prev_intra = _ctx_init(_INIT_PREV_INTRA, qp)
+        self.chroma_mode = _ctx_init(_INIT_CHROMA_MODE, qp)
+        self.cbf_luma = [_ctx_init(v, qp) for v in _INIT_CBF_LUMA]
+        self.cbf_cbcr = [_ctx_init(v, qp) for v in _INIT_CBF_CBCR]
+        self.last_x = [_ctx_init(v, qp) for v in _INIT_LAST_XY]
+        self.last_y = [_ctx_init(v, qp) for v in _INIT_LAST_XY]
+        self.sig = [_ctx_init(v, qp) for v in _INIT_SIG]
+        self.gt1 = [_ctx_init(v, qp) for v in _INIT_GT1]
+        self.gt2 = [_ctx_init(v, qp) for v in _INIT_GT2]
+
+
+def _code_residual(cab: _Cabac, b: _Bits, ctx: _Ctx, levels: np.ndarray,
+                   chroma: bool) -> None:
+    """residual_coding() for one 4x4 TB (7.3.8.11), single CG."""
+    nz = [(i, int(levels[y][x])) for i, (x, y) in enumerate(_DIAG4)
+          if levels[y][x] != 0]
+    assert nz, "residual_coding on an all-zero TB"
+    last_pos, _ = nz[-1]
+    lx, ly = _DIAG4[last_pos]
+    # last_sig_coeff_x/y_prefix: TR, cMax 3; luma ctx 0..2, chroma 15..17
+    off = 15 if chroma else 0
+    for val, ctxs in ((lx, ctx.last_x), (ly, ctx.last_y)):
+        for i in range(val):
+            cab.bin(ctxs[off + i], 1)
+        if val < 3:
+            cab.bin(ctxs[off + val], 0)
+    # sig_coeff_flag for scan positions last-1 .. 0
+    sig_set = {i for i, _ in nz}
+    sig_off = 27 if chroma else 0
+    for pos in range(last_pos - 1, -1, -1):
+        x, y = _DIAG4[pos]
+        cab.bin(ctx.sig[sig_off + _SIG_CTX_MAP[(y << 2) | x]],
+                1 if pos in sig_set else 0)
+    # levels, reverse scan from last
+    coeffs = [lv for _, lv in reversed(nz)]
+    # greater1 flags: first 8 sig coeffs; ctxSet 0 (single CG),
+    # chroma ctx base 16
+    g1_base = 16 if chroma else 0
+    g2_ctx = 4 if chroma else 0
+    greater1_ctx = 1
+    gt2_idx = -1
+    n_g1 = min(8, len(coeffs))
+    for i in range(n_g1):
+        flag = 1 if abs(coeffs[i]) > 1 else 0
+        cab.bin(ctx.gt1[g1_base + greater1_ctx], flag)
+        if flag:
+            greater1_ctx = 0
+            if gt2_idx < 0:
+                gt2_idx = i
+        elif 0 < greater1_ctx < 3:
+            greater1_ctx += 1
+    if gt2_idx >= 0:
+        cab.bin(ctx.gt2[g2_ctx], 1 if abs(coeffs[gt2_idx]) > 2 else 0)
+    # signs (bypass; sign_data_hiding off)
+    for lv in coeffs:
+        cab.bypass(1 if lv < 0 else 0)
+    # coeff_abs_level_remaining (bypass Golomb-Rice, 9.3.3.9). Present
+    # iff the coded flags don't already pin the level: a==1 with gt1
+    # coded, or a<=2 at the gt2 coeff, need nothing more.
+    rice = 0
+    for i, lv in enumerate(coeffs):
+        a = abs(lv)
+        if i < n_g1:
+            if a == 1:
+                continue                      # gt1=0 said it all
+            if i == gt2_idx:
+                if a == 2:
+                    continue                  # gt2=0 said it all
+                rem = a - 3
+            else:
+                rem = a - 2                   # gt1=1, no gt2 budget
+        else:
+            rem = a - 1                       # no flags for this coeff
+        # Golomb-Rice: unary prefix (ones + terminating zero), then
+        # fixed suffix; escape to exp-Golomb at prefix >= 3
+        if rem < (3 << rice):
+            prefix = rem >> rice
+            for _ in range(prefix):
+                cab.bypass(1)
+            cab.bypass(0)
+            for k in range(rice - 1, -1, -1):
+                cab.bypass((rem >> k) & 1)
+        else:
+            p = 3
+            while rem >= (((1 << (p - 2)) + 2) << rice):
+                p += 1
+            for _ in range(p):
+                cab.bypass(1)
+            cab.bypass(0)
+            suffix = rem - (((1 << (p - 3)) + 2) << rice)
+            nbits = p - 3 + rice
+            for k in range(nbits - 1, -1, -1):
+                cab.bypass((suffix >> k) & 1)
+        if a > (3 << rice):
+            rice = min(rice + 1, 4)
+
+
+# ------------------------------------------------------ intra prediction
+
+def _dc_predict(plane: np.ndarray, x0: int, y0: int, avail_fn,
+                filter_edges: bool) -> np.ndarray:
+    """INTRA_DC for one 4x4 TB of `plane` (the recon plane being built).
+
+    avail_fn(x, y) -> sample at (x, y) is available per 6.4.1 (decoded
+    earlier in z-scan order and inside the picture). Reference
+    substitution per 8.4.4.2.2; luma edge filtering per 8.4.4.2.5.
+    """
+    n = 4
+    # reference samples in substitution-scan order: left column bottom
+    # -> top (p[-1][2N-1] .. p[-1][0]), corner, top row left -> right
+    coords = ([(x0 - 1, y0 + i) for i in range(2 * n - 1, -1, -1)]
+              + [(x0 - 1, y0 - 1)]
+              + [(x0 + i, y0 - 1) for i in range(2 * n)])
+    vals = np.empty(len(coords), np.int32)
+    avail = np.zeros(len(coords), bool)
+    for i, (x, y) in enumerate(coords):
+        if avail_fn(x, y):
+            avail[i] = True
+            vals[i] = plane[y, x]
+    if not avail.any():
+        vals[:] = 128
+    else:
+        if not avail[0]:
+            vals[0] = vals[np.nonzero(avail)[0][0]]
+            avail[0] = True
+        for i in range(1, len(coords)):
+            if not avail[i]:
+                vals[i] = vals[i - 1]
+    left = vals[2 * n - 1:n - 1:-1]      # p[-1][0..n-1] top -> bottom
+    top = vals[2 * n + 1:3 * n + 1]      # p[0..n-1][-1]
+    dc = (int(left.sum()) + int(top.sum()) + n) >> 3
+    pred = np.full((n, n), dc, np.int32)
+    if filter_edges:                      # luma, nTbS < 32
+        pred[0, 0] = (int(left[0]) + 2 * dc + int(top[0]) + 2) >> 2
+        pred[0, 1:] = (top[1:] + 3 * dc + 2) >> 2
+        pred[1:, 0] = (left[1:] + 3 * dc + 2) >> 2
+    return pred
+
+
+class IntraHevcEncoder:
+    """Streaming lossy encoder: encode(i420_bytes) -> Annex-B bytes.
+
+    Duck-types the egress encoder surface (encode/take/finish/close).
+    Every frame is an IDR; headers precede the first frame (and a fresh
+    instance after egress reconnect restarts VPS-led, like the
+    reference's kvazaar reopen, timed.cpp:331-348)."""
+
+    def __init__(self, w: int, h: int, qp: int = 30):
+        if w % 2 or h % 2:
+            raise ValueError("I420 frame dims must be even")
+        if not 0 <= qp <= 51:
+            raise ValueError(f"qp {qp} out of range")
+        self.w, self.h = w, h
+        self.qp = qp
+        self.qp_c = _chroma_qp(qp)
+        self.pw = (w + _CTB - 1) // _CTB * _CTB
+        self.ph = (h + _CTB - 1) // _CTB * _CTB
+        self._headers = self._vps() + self._sps() + self._pps()
+        self._sent_headers = False
+        #: decoder-exact reconstruction of the last frame (debug/tests)
+        self.recon_y: np.ndarray | None = None
+        self.recon_u: np.ndarray | None = None
+        self.recon_v: np.ndarray | None = None
+
+    # ----------------------------------------------------------- headers
+    def _vps(self) -> bytes:
+        b = _Bits()
+        b.u(0, 4)
+        b.u(1, 1)
+        b.u(1, 1)
+        b.u(0, 6)
+        b.u(0, 3)
+        b.u(1, 1)
+        b.u(0xFFFF, 16)
+        _profile_tier_level(b)
+        b.u(0, 1)
+        b.ue(0)
+        b.ue(0)
+        b.ue(0)
+        b.u(0, 6)
+        b.ue(0)
+        b.u(0, 1)
+        b.u(0, 1)
+        b.u(1, 1)
+        b.align_zero()
+        return _nal(32, bytes(b.buf))
+
+    def _sps(self) -> bytes:
+        b = _Bits()
+        b.u(0, 4)               # sps_video_parameter_set_id
+        b.u(0, 3)               # sps_max_sub_layers_minus1
+        b.u(1, 1)               # sps_temporal_id_nesting_flag
+        _profile_tier_level(b)
+        b.ue(0)                 # sps_seq_parameter_set_id
+        b.ue(1)                 # chroma_format_idc = 4:2:0
+        b.ue(self.pw)           # pic_width_in_luma_samples (16-padded)
+        b.ue(self.ph)
+        pad = self.pw != self.w or self.ph != self.h
+        b.u(1 if pad else 0, 1)  # conformance_window_flag
+        if pad:
+            b.ue(0)
+            b.ue((self.pw - self.w) // 2)
+            b.ue(0)
+            b.ue((self.ph - self.h) // 2)
+        b.ue(0)                 # bit_depth_luma_minus8
+        b.ue(0)                 # bit_depth_chroma_minus8
+        b.ue(0)                 # log2_max_pic_order_cnt_lsb_minus4
+        b.u(0, 1)               # sps_sub_layer_ordering_info_present
+        b.ue(0)                 # sps_max_dec_pic_buffering_minus1[0]
+        b.ue(0)                 # sps_max_num_reorder_pics[0]
+        b.ue(0)                 # sps_max_latency_increase_plus1[0]
+        b.ue(1)                 # log2_min_luma_coding_block: MinCb = 16
+        b.ue(0)                 # log2_diff_max_min: CTB = MinCb = 16
+        b.ue(0)                 # log2_min_luma_transform_block: 4
+        b.ue(0)                 # log2_diff max TB = min TB = 4 -> every
+        #                         transform split INFERRED (7.4.9.8)
+        b.ue(2)                 # max_transform_hierarchy_depth_inter
+        b.ue(2)                 # max_transform_hierarchy_depth_intra
+        b.u(0, 1)               # scaling_list_enabled_flag
+        b.u(0, 1)               # amp_enabled_flag
+        b.u(0, 1)               # sample_adaptive_offset_enabled_flag
+        b.u(0, 1)               # pcm_enabled_flag
+        b.ue(0)                 # num_short_term_ref_pic_sets
+        b.u(0, 1)               # long_term_ref_pics_present_flag
+        b.u(0, 1)               # sps_temporal_mvp_enabled_flag
+        b.u(0, 1)               # strong_intra_smoothing_enabled_flag
+        b.u(0, 1)               # vui_parameters_present_flag
+        b.u(0, 1)               # sps_extension_present_flag
+        b.u(1, 1)
+        b.align_zero()
+        return _nal(33, bytes(b.buf))
+
+    def _pps(self) -> bytes:
+        b = _Bits()
+        b.ue(0)                 # pps_pic_parameter_set_id
+        b.ue(0)                 # pps_seq_parameter_set_id
+        b.u(0, 1)               # dependent_slice_segments_enabled_flag
+        b.u(0, 1)               # output_flag_present_flag
+        b.u(0, 3)               # num_extra_slice_header_bits
+        b.u(0, 1)               # sign_data_hiding_enabled_flag
+        b.u(0, 1)               # cabac_init_present_flag
+        b.ue(0)                 # num_ref_idx_l0_default_active_minus1
+        b.ue(0)                 # num_ref_idx_l1_default_active_minus1
+        b.se(0)                 # init_qp_minus26
+        b.u(0, 1)               # constrained_intra_pred_flag
+        b.u(0, 1)               # transform_skip_enabled_flag
+        b.u(0, 1)               # cu_qp_delta_enabled_flag
+        b.se(0)                 # pps_cb_qp_offset
+        b.se(0)                 # pps_cr_qp_offset
+        b.u(0, 1)               # pps_slice_chroma_qp_offsets_present
+        b.u(0, 1)               # weighted_pred_flag
+        b.u(0, 1)               # weighted_bipred_flag
+        b.u(0, 1)               # transquant_bypass_enabled_flag
+        b.u(0, 1)               # tiles_enabled_flag
+        b.u(0, 1)               # entropy_coding_sync_enabled_flag
+        b.u(0, 1)               # pps_loop_filter_across_slices_enabled
+        b.u(1, 1)               # deblocking_filter_control_present_flag
+        b.u(0, 1)               # deblocking_filter_override_enabled_flag
+        b.u(1, 1)               # pps_deblocking_filter_disabled_flag
+        #                         (recon == output; SAO off in SPS)
+        b.u(0, 1)               # pps_scaling_list_data_present_flag
+        b.u(0, 1)               # lists_modification_present_flag
+        b.ue(0)                 # log2_parallel_merge_level_minus2
+        b.u(0, 1)               # slice_segment_header_extension_present
+        b.u(0, 1)               # pps_extension_present_flag
+        b.u(1, 1)
+        b.align_zero()
+        return _nal(34, bytes(b.buf))
+
+    # ------------------------------------------------------------- frame
+    def _planes(self, i420: np.ndarray):
+        w, h, pw, ph = self.w, self.h, self.pw, self.ph
+        y = i420[:w * h].reshape(h, w)
+        u = i420[w * h:w * h + w * h // 4].reshape(h // 2, w // 2)
+        v = i420[w * h + w * h // 4:].reshape(h // 2, w // 2)
+        if pw != w or ph != h:
+            y = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
+            u = np.pad(u, ((0, (ph - h) // 2), (0, (pw - w) // 2)),
+                       mode="edge")
+            v = np.pad(v, ((0, (ph - h) // 2), (0, (pw - w) // 2)),
+                       mode="edge")
+        return (y.astype(np.int32), u.astype(np.int32),
+                v.astype(np.int32))
+
+    def _zkey(self, x: int, y: int) -> int:
+        """Decode-order key of the 4x4 luma block containing (x, y)."""
+        ctb = (y // _CTB) * (self.pw // _CTB) + (x // _CTB)
+        bx, by = (x % _CTB) // 4, (y % _CTB) // 4
+        z = ((((by >> 1) << 1) | (bx >> 1)) << 2) \
+            | (((by & 1) << 1) | (bx & 1))
+        return ctb * 16 + z
+
+    def _tb(self, src: np.ndarray, rec: np.ndarray, x0: int, y0: int,
+            cur_key: int, luma: bool, scale: int):
+        """Process one 4x4 TB: predict, transform, quant. Commits the
+        decoder-exact reconstruction into `rec` and returns the level
+        block (int64 [4,4]) with its cbf."""
+        pw, ph = self.pw // scale, self.ph // scale
+
+        def avail(x, y):
+            if x < 0 or y < 0 or x >= pw or y >= ph:
+                return False
+            return self._zkey(x * scale, y * scale) < cur_key
+
+        pred = _dc_predict(rec, x0, y0, avail, filter_edges=luma)
+        res = src[y0:y0 + 4, x0:x0 + 4] - pred
+        mat = _DST4 if luma else _DCT4
+        qp = self.qp if luma else self.qp_c
+        levels = _quant(_fwd_xform(res, mat), qp)
+        levels = np.clip(levels, -32768, 32767)
+        if np.any(levels):
+            r = _inv_xform(_dequant(levels, qp), mat)
+            rec[y0:y0 + 4, x0:x0 + 4] = np.clip(pred + r, 0, 255)
+            return levels, True
+        rec[y0:y0 + 4, x0:x0 + 4] = pred
+        return levels, False
+
+    def _slice_impl(self, i420: np.ndarray) -> bytes:
+        b = _Bits()
+        b.u(1, 1)               # first_slice_segment_in_pic_flag
+        b.u(0, 1)               # no_output_of_prior_pics_flag (IRAP)
+        b.ue(0)                 # slice_pic_parameter_set_id
+        b.ue(2)                 # slice_type = I
+        b.se(self.qp - 26)      # slice_qp_delta
+        b.u(1, 1)               # byte_alignment: alignment_bit_equal_to_1
+        b.align_zero()
+
+        cab = _Cabac(b)
+        ctx = _Ctx(self.qp)
+        y_src, u_src, v_src = self._planes(i420)
+        y_rec = np.zeros_like(y_src)
+        u_rec = np.zeros_like(u_src)
+        v_rec = np.zeros_like(v_src)
+        n_ctb_x = self.pw // _CTB
+        n_ctb_y = self.ph // _CTB
+        n_ctb = n_ctb_x * n_ctb_y
+
+        for ci in range(n_ctb):
+            cx = (ci % n_ctb_x) * _CTB
+            cy = (ci // n_ctb_x) * _CTB
+            # ---- compute all TBs of this CTU (levels + recon) ----
+            luma_lv = []        # 16 leaves in decode order
+            cb_lv, cr_lv = [], []
+            for q in range(4):
+                qx = cx + (q & 1) * 8
+                qy = cy + (q >> 1) * 8
+                for s in range(4):
+                    x0 = qx + (s & 1) * 4
+                    y0 = qy + (s >> 1) * 4
+                    luma_lv.append(self._tb(
+                        y_src, y_rec, x0, y0,
+                        self._zkey(x0, y0), True, 1))
+                ck = self._zkey(qx, qy)   # chroma TB anchor z-key
+                cb_lv.append(self._tb(u_src, u_rec, qx // 2, qy // 2,
+                                      ck, False, 2))
+                cr_lv.append(self._tb(v_src, v_rec, qx // 2, qy // 2,
+                                      ck, False, 2))
+            any_cb = any(c for _, c in cb_lv)
+            any_cr = any(c for _, c in cr_lv)
+            # ---- syntax ----
+            # coding_unit: no split_cu (CTB == MinCb), intra inferred
+            cab.bin(ctx.part_mode, 1)            # PART_2Nx2N
+            cab.bin(ctx.prev_intra, 1)           # DC is in the MPM list
+            cab.bypass(1)                        # mpm_idx = 1 ("10")
+            cab.bypass(0)
+            cab.bin(ctx.chroma_mode, 0)          # derived-from-luma
+            # transform_tree depth 0 (log2 = 4): chroma cbfs, ctx 0
+            cab.bin(ctx.cbf_cbcr[0], 1 if any_cb else 0)
+            cab.bin(ctx.cbf_cbcr[0], 1 if any_cr else 0)
+            for q in range(4):
+                # depth 1 (log2 = 3): chroma cbfs gated on depth 0
+                qcb = cb_lv[q][1]
+                qcr = cr_lv[q][1]
+                if any_cb:
+                    cab.bin(ctx.cbf_cbcr[1], 1 if qcb else 0)
+                if any_cr:
+                    cab.bin(ctx.cbf_cbcr[1], 1 if qcr else 0)
+                for s in range(4):
+                    lv, cbf = luma_lv[q * 4 + s]
+                    # depth 2 leaf: cbf_luma (trafoDepth != 0 -> ctx 0)
+                    cab.bin(ctx.cbf_luma[0], 1 if cbf else 0)
+                    if cbf:
+                        _code_residual(cab, b, ctx, lv, chroma=False)
+                    if s == 3:
+                        if qcb:
+                            _code_residual(cab, b, ctx, cb_lv[q][0],
+                                           chroma=True)
+                        if qcr:
+                            _code_residual(cab, b, ctx, cr_lv[q][0],
+                                           chroma=True)
+            cab.term(1 if ci == n_ctb - 1 else 0)  # end_of_slice
+        b.align_zero()          # rbsp trailing (stop bit = flush's)
+        self.recon_y = y_rec[:self.h, :self.w].astype(np.uint8)
+        self.recon_u = u_rec[:self.h // 2, :self.w // 2].astype(np.uint8)
+        self.recon_v = v_rec[:self.h // 2, :self.w // 2].astype(np.uint8)
+        return _nal(19, bytes(b.buf))              # IDR_W_RADL
+
+    # --------------------------------------------- egress-facing surface
+    def encode(self, i420_bytes: bytes) -> bytes:
+        i420 = np.frombuffer(i420_bytes, np.uint8)
+        expect = self.w * self.h * 3 // 2
+        if i420.size != expect:
+            raise ValueError(f"I420 frame is {i420.size} B, "
+                             f"expected {expect}")
+        out = self._slice_impl(i420)
+        if not self._sent_headers:
+            self._sent_headers = True
+            return self._headers + out
+        return out
+
+    def take(self) -> bytes:
+        return b""
+
+    def finish(self, timeout: float = 0.0) -> bytes:
+        return b""
+
+    def close(self) -> None:
+        pass

@@ -50,7 +50,7 @@ _RANGE_LPS = np.array([
     [48, 59, 69, 80], [46, 56, 66, 76], [43, 53, 63, 72],
     [41, 50, 59, 69], [39, 48, 56, 65], [37, 45, 54, 62],
     [35, 43, 51, 59], [33, 41, 48, 56], [32, 39, 46, 53],
-    [30, 37, 43, 50], [28, 35, 41, 48], [27, 33, 39, 45],
+    [30, 37, 43, 50], [29, 35, 41, 48], [27, 33, 39, 45],
     [26, 31, 37, 43], [24, 30, 35, 41], [23, 28, 33, 39],
     [22, 27, 32, 37], [21, 26, 30, 35], [20, 24, 29, 33],
     [19, 23, 27, 31], [18, 22, 26, 30], [17, 21, 25, 28],
@@ -67,7 +67,7 @@ _RANGE_LPS = np.array([
 # min(state + 1, 62))
 _TRANS_LPS = np.array([
     0, 0, 1, 2, 2, 4, 4, 5, 6, 7, 8, 9, 9, 11, 11, 12, 13, 13, 15, 15,
-    16, 16, 18, 18, 19, 19, 21, 21, 23, 22, 23, 24, 24, 25, 26, 26, 27,
+    16, 16, 18, 18, 19, 19, 21, 21, 22, 22, 23, 24, 24, 25, 26, 26, 27,
     27, 28, 29, 29, 30, 30, 30, 31, 32, 32, 33, 33, 33, 34, 34, 35, 35,
     35, 36, 36, 36, 37, 37, 37, 38, 38, 63], dtype=np.int32)
 
@@ -157,6 +157,21 @@ class _Cabac:
         else:
             ctx[0] = min(ctx[0] + 1, 62)
         self._renorm()
+
+    def bypass(self, binval: int) -> None:
+        """EncodeBypass (9.3.4.3.4) — used by the lossy intra encoder
+        (io_plane/hevc_intra.py); the all-PCM slice never needs it."""
+        self.low <<= 1
+        if binval:
+            self.low += self.range
+        if self.low >= 1024:
+            self.low -= 1024
+            self._putbit(1)
+        elif self.low < 512:
+            self._putbit(0)
+        else:
+            self.low -= 512
+            self.outstanding += 1
 
     def term(self, binval: int) -> None:
         self.range -= 2

@@ -41,7 +41,7 @@ const uint8_t kRangeLps[64][4] = {
     {48, 59, 69, 80},     {46, 56, 66, 76},     {43, 53, 63, 72},
     {41, 50, 59, 69},     {39, 48, 56, 65},     {37, 45, 54, 62},
     {35, 43, 51, 59},     {33, 41, 48, 56},     {32, 39, 46, 53},
-    {30, 37, 43, 50},     {28, 35, 41, 48},     {27, 33, 39, 45},
+    {30, 37, 43, 50},     {29, 35, 41, 48},     {27, 33, 39, 45},
     {26, 31, 37, 43},     {24, 30, 35, 41},     {23, 28, 33, 39},
     {22, 27, 32, 37},     {21, 26, 30, 35},     {20, 24, 29, 33},
     {19, 23, 27, 31},     {18, 22, 26, 30},     {17, 21, 25, 28},
@@ -57,7 +57,7 @@ const uint8_t kRangeLps[64][4] = {
 // table 9-47: LPS state transition (MPS transition = min(s + 1, 62))
 const uint8_t kTransLps[64] = {
     0,  0,  1,  2,  2,  4,  4,  5,  6,  7,  8,  9,  9,  11, 11, 12,
-    13, 13, 15, 15, 16, 16, 18, 18, 19, 19, 21, 21, 23, 22, 23, 24,
+    13, 13, 15, 15, 16, 16, 18, 18, 19, 19, 21, 21, 22, 22, 23, 24,
     24, 25, 26, 26, 27, 27, 28, 29, 29, 30, 30, 30, 31, 32, 32, 33,
     33, 33, 34, 34, 35, 35, 35, 36, 36, 36, 37, 37, 37, 38, 38, 63};
 
