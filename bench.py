@@ -643,6 +643,14 @@ def p_4k():
     _sync(f4)
     _sync(st4.stitch_out(f4, device=True))         # warmup/compile
     fps_4k, _ = _throughput(lambda: st4.stitch_out(f4, device=True))
+    # RGB-fed A/B: r4 published 93.4 fps on RGB input; the production
+    # ingest is NV12 (conversion on device), so both are reported to
+    # keep the delta attributable to the conversion, not a regression
+    fr4 = jax.device_put(frames4)
+    _sync(fr4)
+    _sync(st4.stitch_out(fr4, device=True))
+    fps_4k_rgb, _ = _throughput(lambda: st4.stitch_out(fr4, device=True))
+    del fr4
     # the black-bar policy must hold at this config: pano-aspect frame
     # centered on the output canvas (timed.cpp:285-292)
     out4 = st4.stitch_out(f4)
@@ -653,6 +661,7 @@ def p_4k():
         assert out4[:max(1, y0 - 1)].max() == 0, "top bar not black"
         assert out4[y0 + fh + 1:].max() == 0, "bottom bar not black"
     return {"fps_4k_to_8k": round(fps_4k, 2),
+            "fps_4k_to_8k_rgb": round(fps_4k_rgb, 2),
             "_ctx": {"st4": st4, "cfg4": cfg4, "nv4": nv4}}
 
 

@@ -181,3 +181,29 @@ def test_egress_hevc_intra_mode():
     out = dec.decode(data[4:]) + dec.flush()
     dec.close()
     assert len(out) == 2 and out[0][1] == 96 and out[0][2] == 64
+
+
+def test_native_twin_byte_identical():
+    """native/hevc_intra.cpp must emit byte-identical bitstreams to the
+    Python reference implementation, across sizes/QPs/frames."""
+    from video_stitcher_tpu.io_plane.hevc_intra import (
+        NativeIntraHevcEncoder, load_native)
+    if load_native() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(3)
+    for (w, h, qp) in [(64, 32, 30), (72, 36, 22), (48, 48, 45)]:
+        py = IntraHevcEncoder(w, h, qp=qp)
+        nat = NativeIntraHevcEncoder(w, h, qp=qp)
+        for s in range(2):
+            f = rng.integers(0, 255, (w * h * 3 // 2,)) \
+                .astype(np.uint8).tobytes()
+            assert py.encode(f) == nat.encode(f), (w, h, qp, s)
+        nat.close()
+
+
+def test_create_prefers_native():
+    from video_stitcher_tpu.io_plane import hevc_intra
+    enc = hevc_intra.create(64, 32, qp=30)
+    if hevc_intra.load_native() is not None:
+        assert isinstance(enc, hevc_intra.NativeIntraHevcEncoder)
+    enc.close()

@@ -291,11 +291,11 @@ class PlayerEgress:
             return self._to_i420(frame_rgb).tobytes()
         if self.encoder_kind == "hevc_intra":
             # built-in lossy intra codec, no external deps (opt-in: the
-            # "hevc" chain below prefers faster backends)
+            # "hevc" chain below prefers faster backends); native twin
+            # when it builds, Python reference otherwise
             if self._enc is None:
-                from video_stitcher_tpu.io_plane.hevc_intra import \
-                    IntraHevcEncoder
-                self._enc = IntraHevcEncoder(w, h, qp=self.hevc_qp)
+                from video_stitcher_tpu.io_plane import hevc_intra
+                self._enc = hevc_intra.create(w, h, qp=self.hevc_qp)
             return self._enc.encode(self._to_i420(frame_rgb).tobytes())
         # hevc selection chain (all the same duck type):
         #   1. in-process x265 via the system libavcodec — REAL

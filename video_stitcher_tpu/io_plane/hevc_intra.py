@@ -564,3 +564,81 @@ class IntraHevcEncoder:
 
     def close(self) -> None:
         pass
+
+
+# ------------------------------------------------------- native twin
+def _configure_hevcintra(lib):
+    import ctypes
+    lib.hevcintra_create.argtypes = [ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int]
+    lib.hevcintra_create.restype = ctypes.c_void_p
+    lib.hevcintra_max_size.argtypes = [ctypes.c_void_p]
+    lib.hevcintra_max_size.restype = ctypes.c_long
+    lib.hevcintra_encode.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+    lib.hevcintra_encode.restype = ctypes.c_long
+    lib.hevcintra_destroy.argtypes = [ctypes.c_void_p]
+    lib.hevcintra_destroy.restype = None
+
+
+def load_native():
+    """Load (building on demand) libhevcintra.so, or None."""
+    from video_stitcher_tpu.io_plane.native import load_or_build
+    return load_or_build("libhevcintra.so", _configure_hevcintra)
+
+
+class NativeIntraHevcEncoder:
+    """ctypes wrapper over native/hevc_intra.cpp — bitstream
+    byte-identical to IntraHevcEncoder (tested), fast enough for live
+    egress (vs ~6 s/frame at 640x360 for the Python reference)."""
+
+    def __init__(self, w: int, h: int, qp: int = 30, lib=None):
+        import ctypes
+        self._ct = ctypes
+        self._lib = lib if lib is not None else load_native()
+        if self._lib is None:
+            raise RuntimeError("libhevcintra unavailable")
+        self._enc = self._lib.hevcintra_create(w, h, qp)
+        if not self._enc:
+            raise ValueError(f"bad encoder params {w}x{h} qp={qp}")
+        self.w, self.h, self.qp = w, h, qp
+        self._cap = self._lib.hevcintra_max_size(self._enc)
+        self._out = np.empty(self._cap, np.uint8)
+
+    def encode(self, i420_bytes: bytes) -> bytes:
+        expect = self.w * self.h * 3 // 2
+        if len(i420_bytes) != expect:
+            raise ValueError(f"I420 frame is {len(i420_bytes)} B, "
+                             f"expected {expect}")
+        ct = self._ct
+        src = np.frombuffer(i420_bytes, np.uint8)
+        n = self._lib.hevcintra_encode(
+            self._enc, src.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+            self._out.ctypes.data_as(ct.POINTER(ct.c_uint8)), self._cap)
+        if n < 0:
+            raise RuntimeError("hevcintra_encode failed")
+        return self._out[:n].tobytes()
+
+    def take(self) -> bytes:
+        return b""
+
+    def finish(self, timeout: float = 0.0) -> bytes:
+        return b""
+
+    def close(self) -> None:
+        if self._enc:
+            self._lib.hevcintra_destroy(self._enc)
+            self._enc = None
+
+
+def create(w: int, h: int, qp: int = 30):
+    """Built-in lossy intra encoder: native when the library builds,
+    else the pure-Python reference implementation."""
+    lib = load_native()
+    if lib is not None:
+        try:
+            return NativeIntraHevcEncoder(w, h, qp, lib)
+        except (ValueError, RuntimeError):
+            pass
+    return IntraHevcEncoder(w, h, qp)
