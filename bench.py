@@ -790,11 +790,16 @@ def p_aux():
         up.append(time.perf_counter() - t)
     out["h2d_upload_ms_devtunnel"] = round(
         float(np.median(np.array(up) * 1000)), 1)
-
-    r = _bench_runner(cfg, CTX["nv12"], n_frames=20, loopback=True,
-                      stitcher=st)
-    out["fps_runner_loopback_devtunnel"] = r.get("fps")
     return out
+
+
+def p_loopback():
+    """Loopback-TCP ingest run — tunnel-upload-bound on this host, so
+    it's its own phase: a wedge here can't take the aux keys with it
+    (it did in the r5 second run)."""
+    r = _bench_runner(CTX["cfg"], CTX["nv12"], n_frames=12, loopback=True,
+                      stitcher=CTX["st"])
+    return {"fps_runner_loopback_devtunnel": r.get("fps")}
 
 
 def main():
@@ -821,8 +826,9 @@ def main():
     phase("psnr", 300, p_psnr, needs=("calib",))
     phase("fps_4k", 240, p_4k, needs=("calib",))
     phase("runner_4k", 180, p_runner_4k, needs=("fps_4k",))
+    phase("aux", 150, p_aux, needs=("step",))
     phase("soak", 200, p_soak, needs=("step",))
-    phase("aux", 240, p_aux, needs=("step",))
+    phase("loopback", 120, p_loopback, needs=("step",))
     _finish()
 
 
