@@ -158,6 +158,54 @@ def test_nv12_planar_matches_hwc(rng):
     np.testing.assert_allclose(np.moveaxis(planar, 0, -1), hwc, atol=1e-3)
 
 
+def test_nv12_scaled_matches_unfused_chain(rng):
+    """nv12_to_rgb_planar_scaled must equal convert-then-resize: same
+    linear operator (interp matrices composed with the chroma dedup at
+    trace time), so on CPU the only slack is f32 accumulation order —
+    except where out-of-gamut RGB clips (full-res clip in the old chain
+    vs compose-scale clip in the fused one), excluded via in-gamut
+    content below."""
+    import jax.numpy as jnp
+    from video_stitcher_tpu.ops.color import (
+        nv12_to_rgb_planar, nv12_to_rgb_planar_scaled, rgb_to_nv12)
+    from video_stitcher_tpu.ops.resize import resize_planar
+    h, w = 96, 128
+    # in-gamut content: smooth RGB round-tripped through NV12 (raw random
+    # chroma is far out of gamut and would measure the clip-order
+    # difference instead of the operator)
+    rgb = cv2.GaussianBlur(
+        rng.integers(0, 256, (h, w, 3)).astype(np.uint8), (0, 0), 3)
+    nv = np.asarray(rgb_to_nv12(jnp.asarray(rgb)))
+    for oh, ow in ((39, 53), (48, 64), (130, 170)):   # down, half, up
+        old = np.asarray(jnp.clip(resize_planar(
+            nv12_to_rgb_planar(jnp.asarray(nv)), oh, ow), 0, 255))
+        new = np.asarray(nv12_to_rgb_planar_scaled(jnp.asarray(nv), oh, ow))
+        assert new.shape == (3, oh, ow)
+        np.testing.assert_allclose(new, old, atol=2e-2)
+
+
+def test_nv12_scaled_banded_matches_dense(rng):
+    """The band-tiled matrix path (large W) must match the dense one."""
+    import jax.numpy as jnp
+    import importlib
+    rz = importlib.import_module("video_stitcher_tpu.ops.resize")
+    from video_stitcher_tpu.ops.color import (
+        nv12_to_rgb_planar_scaled, _nv12_scaled_mats)
+    h, w, oh, ow = 96, 256, 40, 104
+    nv = rng.integers(0, 256, (h * 3 // 2, w)).astype(np.uint8)
+    dense = np.asarray(nv12_to_rgb_planar_scaled(jnp.asarray(nv), oh, ow))
+    old_thresh = rz._BAND_THRESHOLD
+    try:
+        rz._BAND_THRESHOLD = 1          # force tiling everywhere
+        _nv12_scaled_mats.cache_clear()
+        banded = np.asarray(
+            nv12_to_rgb_planar_scaled(jnp.asarray(nv), oh, ow))
+    finally:
+        rz._BAND_THRESHOLD = old_thresh
+        _nv12_scaled_mats.cache_clear()
+    np.testing.assert_allclose(banded, dense, atol=2e-2)
+
+
 def test_stitch_nv12_matches_rgb():
     """stitch_nv12 must agree with stitch() fed the converted RGB."""
     import jax

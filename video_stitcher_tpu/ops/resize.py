@@ -59,6 +59,67 @@ def _banded_tiles(n_in: int, n_out: int, tile: int = _BAND_TILE):
     return tuple(tiles)
 
 
+def _tiles_from_matrix(m: np.ndarray, tile: int = _BAND_TILE):
+    """Band-tile an arbitrary locally-supported [n_out, n_in] matrix.
+
+    Generic twin of _banded_tiles for matrices that are not plain
+    bilinear interp (e.g. interp composed with chroma dedup in
+    ops/color.py): per output tile, slice to the union of its rows'
+    nonzero spans. Exact — only structural zeros are dropped."""
+    n_out, n_in = m.shape
+    nz = m != 0
+    any_nz = nz.any(1)
+    first = np.where(any_nz, nz.argmax(1), 0)
+    last = np.where(any_nz, n_in - 1 - nz[:, ::-1].argmax(1), 0)
+    tiles = []
+    for j0 in range(0, n_out, tile):
+        j1 = min(j0 + tile, n_out)
+        in0 = int(first[j0:j1].min())
+        in1 = int(last[j0:j1].max()) + 1
+        tiles.append((j0, in0, np.ascontiguousarray(m[j0:j1, in0:in1])))
+    return tuple(tiles)
+
+
+def apply_interp_w(x, tiles_or_m):
+    """x [..., H, W] -> [..., H, Wo] through a [Wo, W] interp-like matrix
+    (or its _tiles_from_matrix tiling). Band-tiled above _BAND_THRESHOLD."""
+    x = x.astype(jnp.float32)
+    if isinstance(tiles_or_m, np.ndarray):
+        if tiles_or_m.size > _BAND_THRESHOLD:
+            tiles_or_m = _tiles_from_matrix(tiles_or_m)
+        else:
+            return jnp.einsum("...hw,ow->...ho", x,
+                              jnp.asarray(tiles_or_m),
+                              preferred_element_type=jnp.float32)
+    parts = []
+    for _, in0, mw in tiles_or_m:
+        mj = jnp.asarray(mw)
+        parts.append(jnp.einsum(
+            "...hk,tk->...ht", x[..., :, in0:in0 + mj.shape[1]], mj,
+            preferred_element_type=jnp.float32))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def apply_interp_h(x, tiles_or_m):
+    """x [..., H, W] -> [..., Ho, W] through a [Ho, H] interp-like matrix
+    (or its _tiles_from_matrix tiling). Band-tiled above _BAND_THRESHOLD."""
+    x = x.astype(jnp.float32)
+    if isinstance(tiles_or_m, np.ndarray):
+        if tiles_or_m.size > _BAND_THRESHOLD:
+            tiles_or_m = _tiles_from_matrix(tiles_or_m)
+        else:
+            return jnp.einsum("...hw,oh->...ow", x,
+                              jnp.asarray(tiles_or_m),
+                              preferred_element_type=jnp.float32)
+    parts = []
+    for _, in0, mh in tiles_or_m:
+        mj = jnp.asarray(mh)
+        parts.append(jnp.einsum(
+            "...kw,tk->...tw", x[..., in0:in0 + mj.shape[1], :], mj,
+            preferred_element_type=jnp.float32))
+    return jnp.concatenate(parts, axis=-2)
+
+
 def resize_planar(img, out_h: int, out_w: int):
     """img [..., H, W] -> [..., out_h, out_w], bilinear, f32."""
     h, w = img.shape[-2], img.shape[-1]

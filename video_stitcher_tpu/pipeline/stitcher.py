@@ -37,6 +37,23 @@ def _frames_to_planar_f32(frames_u8):
     return jnp.moveaxis(frames_u8, -1, 1).astype(jnp.float32)
 
 
+def _prewarped_planar(frames_u8, geom: StitchGeometry):
+    """u8 RGB/NV12 frames -> planar f32 [N, 3, compose_h, compose_w].
+
+    NV12 takes the fused scale-at-1.5B/px conversion (ops/color.py
+    nv12_to_rgb_planar_scaled) — resizing Y as one plane and chroma at
+    half height instead of materializing full-res RGB f32 first; RGB
+    keeps the convert-then-resize chain (timed.cpp:77)."""
+    from video_stitcher_tpu.calib.calibration import prewarp_source
+    if not geom.prewarp:
+        return _frames_to_planar_f32(frames_u8)
+    if frames_u8.ndim == 3:              # NV12 input
+        from video_stitcher_tpu.ops.color import nv12_to_rgb_planar_scaled
+        return jax.vmap(lambda f: nv12_to_rgb_planar_scaled(
+            f, geom.compose_h, geom.compose_w))(frames_u8)
+    return prewarp_source(_frames_to_planar_f32(frames_u8), geom)
+
+
 def _prep_strip_source(frames_u8, geom: StitchGeometry):
     """u8 RGB [N, H, W, 3] or NV12 [N, H*3/2, W] -> bf16 planar warp source
     [N, 3, Hp, Wp] (rows padded to the sublane tile, lanes to 128).
@@ -52,8 +69,7 @@ def _prep_strip_source(frames_u8, geom: StitchGeometry):
         src = (prep_source_nv12(frames_u8) if frames_u8.ndim == 3
                else prep_source(frames_u8))
     else:
-        from video_stitcher_tpu.calib.calibration import prewarp_source
-        x = prewarp_source(_frames_to_planar_f32(frames_u8), geom)
+        x = _prewarped_planar(frames_u8, geom)
         hp = _round_up(x.shape[2], ROW_ALIGN)
         src = jnp.pad(x, ((0, 0), (0, 0), (0, hp - x.shape[2]), (0, 0))
                       ).astype(jnp.bfloat16)
@@ -90,8 +106,7 @@ def warp_bands(frames_u8, state: CalibState, geom: StitchGeometry,
                              gains=gains)   # gain fused in-kernel
         return bands[:, :, :lay.band_h, :lay.band_w]
     else:
-        from video_stitcher_tpu.calib.calibration import prewarp_source
-        x = prewarp_source(_frames_to_planar_f32(frames_u8), geom)
+        x = _prewarped_planar(frames_u8, geom)
 
         def one(img, m):
             return remap_planar(img, m[0], m[1], border="constant")
