@@ -13,23 +13,41 @@ import functools as _functools
 import jax.numpy as jnp
 
 
+@_functools.lru_cache(maxsize=32)
+def _dup_rows_matrix(h: int):
+    """[h, h/2] one-hot NN vertical-upsample matrix (row y reads h//2).
+
+    Vertical chroma duplication as a matmul: the broadcast+reshape
+    sublane interleave was the dominant conversion cost (VPU-bound
+    relayout); a one-hot matmul rides the MXU instead. Exact even under
+    the TPU's bf16 matmul inputs: weights are 0/1 and chroma values are
+    integers <= 255, both exactly representable in bf16, and each
+    output row has a single nonzero product."""
+    import numpy as np
+    m = np.zeros((h, h // 2), np.float32)
+    m[np.arange(h), np.arange(h) // 2] = 1.0
+    return m
+
+
 def _nv12_upsampled_uv(nv12, h, w):
     """Interleaved UV rows -> full-res (u, v) planes, TPU-shaped.
 
-    The obvious form (strided deinterleave + jnp.repeat along lanes)
-    costs lane-granularity shuffles that measured 13.8 ms per 6-cam 4K
-    set on v5e; selecting between the row and its 1-lane roll is the
-    same values with vector-friendly ops (9.1 ms, bit-identical).
-    For even lane 2k: u = uv[2k]; odd 2k+1: u = roll(+1)[2k+1] = uv[2k].
+    Lane dedup: the obvious strided deinterleave costs lane-granularity
+    shuffles that measured 13.8 ms per 6-cam 4K set on v5e; selecting
+    between the row and its 1-lane roll is the same values with
+    vector-friendly ops (for even lane 2k: u = uv[2k]; odd 2k+1:
+    u = roll(+1)[2k+1] = uv[2k]). Row duplication: a one-hot MXU matmul
+    (_dup_rows_matrix) instead of a broadcast+reshape sublane
+    interleave (9.1 -> ~1 ms for the same 4K set, bit-identical).
     """
+    from video_stitcher_tpu.ops.resize import apply_interp_h
     uvrow = nv12[h:].astype(jnp.float32)        # [h/2, w] interleaved
     even = (jnp.arange(w) & 1) == 0
     u_half = jnp.where(even, uvrow, jnp.roll(uvrow, 1, axis=1))
     v_half = jnp.where(even, jnp.roll(uvrow, -1, axis=1), uvrow)
-    u = jnp.broadcast_to(u_half[:, None, :],
-                         (h // 2, 2, w)).reshape(h, w) - 128.0
-    v = jnp.broadcast_to(v_half[:, None, :],
-                         (h // 2, 2, w)).reshape(h, w) - 128.0
+    d = _dup_rows_matrix(h)
+    u = apply_interp_h(u_half, d) - 128.0
+    v = apply_interp_h(v_half, d) - 128.0
     return u, v
 
 
