@@ -367,6 +367,28 @@ def test_e2e_prewarp_minified():
     assert val > 30.0, f"prewarp PSNR {val:.1f} dB too low"
 
 
+def test_e2e_prewarp_nv12():
+    """NV12 ingest under prewarp takes the fused scale-at-1.5B/px
+    conversion (ops/color.py nv12_to_rgb_planar_scaled); the stitched
+    pano must agree with the RGB-fed path to chroma-subsampling noise
+    (this is the BASELINE config-4 production shape: NV12 capture in,
+    strong minification)."""
+    from video_stitcher_tpu.ops.color import rgb_to_nv12
+    cfg = _prewarp_cfg()
+    geom, _ = plan_geometry(cfg)
+    rng = np.random.default_rng(3)
+    scene = make_scene(geom.layout.pano_w, geom.layout.pano_h, rng)
+    frames = render_views(cfg, geom, scene)
+    st = Stitcher(cfg)
+    st.calibrate(frames)
+    nv = np.stack([np.asarray(rgb_to_nv12(f)) for f in frames])
+    a = st.stitch(nv)
+    b = st.stitch(frames)
+    assert a.shape == b.shape
+    val = psnr(a, b)
+    assert val > 35.0, f"NV12-vs-RGB prewarp pano PSNR {val:.1f} dB"
+
+
 def test_prewarp_strip_path_matches_gather(monkeypatch):
     """The Pallas strip path (forced, interpret mode) must agree with the
     XLA gather path under prewarp — covers _prep_strip_source and the
