@@ -54,7 +54,19 @@ PHASES_DONE: list = []
 FAILED: set = set()
 SKIPPED: list = []
 CTX: dict = {}
-_emit_lock = threading.Lock()
+# RLock, not Lock: _finish runs from SIGALRM/SIGTERM handlers on the
+# MAIN thread — if the signal lands while _emit_phase holds the lock in
+# that same thread, a plain Lock would deadlock the handler and the
+# final merged JSON (the watchdog's whole point) would never print
+_emit_lock = threading.RLock()
+
+#: Runners currently executing inside a phase worker. A stalled phase's
+#: worker thread cannot be killed, but its Runner CAN be stopped — the
+#: stall path signals every live runner so an abandoned worker winds
+#: down instead of mutating shared CTX objects (Stitcher, dev_sets)
+#: concurrently with later phases.
+_LIVE_RUNNERS = []
+_live_lock = threading.Lock()
 _finished = threading.Event()
 
 
@@ -122,6 +134,10 @@ def phase(name: str, budget_s: float, fn, needs=()):
             fn, min(budget_s, _remaining() - RESERVE_S))
     except devsync.StallError:
         FAILED.add(name)
+        with _live_lock:
+            for r in _LIVE_RUNNERS:     # stop abandoned workers' loops
+                r._stop.set()
+            _LIVE_RUNNERS.clear()
         _emit_phase(name, {f"{name}_stalled": True,
                            f"{name}_elapsed_s":
                                round(time.monotonic() - t0, 1)})
@@ -300,10 +316,15 @@ def _bench_runner(cfg, nv12, n_frames=300, loopback=False, sync_every=1,
     if loopback:
         for t in board_threads:
             t.start()
+    with _live_lock:
+        _LIVE_RUNNERS.append(r)
     try:
         r.run()
     finally:
         stop_boards.set()
+        with _live_lock:
+            if r in _LIVE_RUNNERS:
+                _LIVE_RUNNERS.remove(r)
     lat = np.array(r.latencies)
     ts = np.array(r.done_ts)
     extra = {"sync_stalls": r.sync_stalls, "stage_stalls": r.stage_stalls}
@@ -728,25 +749,28 @@ def p_soak():
                                 player_address="127.0.0.1",
                                 player_tcp_port=port)
     egress = PlayerEgress(cfg_s, encoder="hevc")
-    # record which hevc layer serves (in-process x265 -> subprocess ->
-    # built-in I_PCM)
-    from video_stitcher_tpu.io_plane import hevc_lavc
-    probe = hevc_lavc.create_encoder(64, 64)
-    enc_kind = "x265" if probe is not None else "pcm"
-    if probe is not None:
-        probe.close()
     # frame count sized to the LINK, not the product: every soak frame
     # crosses the tunnel twice (TCP ingest upload + full-frame download)
     # — at the measured 6.6 MB/s a frame costs ~10 s, so 25 frames blew
     # the phase budget in the r5 driver run; 8 frames prove the same
     # integration (every subsystem live at once) inside it
+    st = CTX["st"]
+    cfg_st = st.cfg
+    # the Stitcher reads update_masks from ITS OWN cfg at recalib time
+    # (stitcher.py update_state): swap it in for the soak so the seam-
+    # mask rebuild path actually executes, restore after
+    st.cfg = dataclasses.replace(cfg_st, update_masks=True)
     try:
         r = _bench_runner(cfg_s, CTX["nv12"], n_frames=8, loopback=True,
-                          framed=True, recalib=True, stitcher=CTX["st"],
+                          framed=True, recalib=True, stitcher=st,
                           egress=egress)
     finally:
+        st.cfg = cfg_st
         stop.set()
         pt.join(timeout=3)
+    # record which hevc layer actually served, from the egress itself
+    # (a probe-based guess misreported subprocess-served runs as "pcm")
+    enc_kind = egress.selected_encoder
     return {"soak_fps_devtunnel": r.get("fps"),
             "soak_frames": r.get("frames"),
             "soak_recalibs": r.get("recalibs"),

@@ -128,7 +128,8 @@ def test_cabac_tables_match_system_decoder():
     assert int(_TRANS_LPS[28]) == 22
     # full invariants from the spec structure
     assert _RANGE_LPS.shape == (64, 4)
-    assert (_RANGE_LPS[:-1] >= _RANGE_LPS[1:]).all() or True
+    assert (_RANGE_LPS[:-1] >= _RANGE_LPS[1:]).all()      # rows non-incr
+    assert (_RANGE_LPS[:, 1:] >= _RANGE_LPS[:, :-1]).all()  # cols non-decr
     assert _RANGE_LPS[63].tolist() == [2, 2, 2, 2]
     assert int(_TRANS_LPS[63]) == 63
 

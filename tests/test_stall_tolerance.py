@@ -48,6 +48,39 @@ def test_call_deadline_fail_fast_when_wedged(monkeypatch):
     assert devsync.stalled_workers() == 0
 
 
+def test_worker_pool_reuses_threads():
+    """Healthy calls must recycle workers: the hot loop makes ~3 bounded
+    syncs per frame at 137 fps, so per-call thread construction would
+    tax the 1-core deployment host (review r5). Also checks concurrent
+    callers each get their own worker and correct results."""
+    import threading
+    for _ in range(5):                       # warm the pool
+        devsync.call_deadline(lambda: 1, 1.0)
+    before = threading.active_count()
+    for i in range(50):
+        assert devsync.call_deadline(lambda i=i: i * 2, 1.0) == i * 2
+    assert threading.active_count() <= before + 1   # no per-call threads
+
+    results = []
+    def caller(k):
+        results.append(devsync.call_deadline(
+            lambda: (time.sleep(0.05), k)[1], 2.0))
+    ts = [threading.Thread(target=caller, args=(k,)) for k in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(results) == list(range(8))
+
+    # a stalled worker is abandoned, never recycled: after the stall
+    # drains, healthy calls still work
+    with pytest.raises(devsync.StallError):
+        devsync.call_deadline(lambda: time.sleep(0.8), 0.05)
+    assert devsync.call_deadline(lambda: "after", 1.0) == "after"
+    time.sleep(1.0)
+    assert devsync.stalled_workers() == 0
+
+
 def test_zero_timeout_disables():
     assert devsync.call_deadline(lambda: "ok", 0) == "ok"
 

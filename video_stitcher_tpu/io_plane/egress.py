@@ -93,6 +93,7 @@ class HevcEncoder:
         exe = shutil.which("kvazaar") or shutil.which("ffmpeg")
         if exe is None:
             raise RuntimeError("no HEVC encoder available (kvazaar/ffmpeg)")
+        self.backend = "kvazaar" if exe.endswith("kvazaar") else "ffmpeg"
         if exe.endswith("kvazaar"):
             cmd = [exe, "-i", "-", "--input-res", f"{w}x{h}",
                    "--preset", "ultrafast", "-o", "-"]
@@ -176,6 +177,7 @@ class PlayerEgress:
         self.sock: Optional[socket.socket] = None
         self._listener: Optional[socket.socket] = None
         self._enc = None
+        self._enc_selected: Optional[str] = None
         self._sent_height = False
         #: set by close(); send_frame raises instead of reconnecting so a
         #: consumer thread can't race a shutdown into a fresh connection
@@ -228,6 +230,7 @@ class PlayerEgress:
             self._listener.close()
             self._listener = None
         if self._enc is not None:
+            _ = self.selected_encoder       # snapshot before clearing
             self._enc.close()
             self._enc = None
 
@@ -255,6 +258,14 @@ class PlayerEgress:
         and eager CPU measured 1.1 s per 4K frame."""
         frame_rgb = np.ascontiguousarray(frame_rgb)
         h, w = frame_rgb.shape[:2]
+        if h % 2 or w % 2:
+            # the native path would write chroma past its h/2 x w/2
+            # planes (heap corruption), the numpy path would produce a
+            # different (short) layout — reject loudly; send_frame pads
+            # via _pad_even before reaching here
+            raise ValueError(
+                f"I420 requires even dimensions, got {w}x{h} "
+                "(pad upstream, see PlayerEgress._pad_even)")
         from video_stitcher_tpu.io_plane import native as _native
         lib = _native.load()
         if lib is not None and hasattr(lib, "stitchio_rgb_to_i420"):
@@ -315,6 +326,32 @@ class PlayerEgress:
                     from video_stitcher_tpu.io_plane import hevc_pcm
                     self._enc = hevc_pcm.create(w, h)
         return self._enc.encode(self._to_i420(frame_rgb).tobytes())
+
+    @property
+    def selected_encoder(self) -> str:
+        """Which encoder layer actually serves this egress — "x265"
+        (in-process libavcodec), "kvazaar"/"ffmpeg" (subprocess), "pcm"
+        (built-in lossless I_PCM), "intra" (built-in lossy), or the
+        static encoder_kind before the first frame instantiates one.
+        The selection survives close()/reconnect (both clear _enc), so
+        reading it after a run still reports the layer that served.
+        Evidence key: the bench soak records this instead of probing,
+        so a run served by the subprocess middle layer is never
+        misreported as "pcm"."""
+        e = self._enc
+        if e is not None:
+            mod = type(e).__module__
+            if mod.endswith("hevc_lavc"):
+                self._enc_selected = "x265"
+            elif mod.endswith("hevc_pcm"):
+                self._enc_selected = "pcm"
+            elif mod.endswith("hevc_intra"):
+                self._enc_selected = "intra"
+            elif isinstance(e, HevcEncoder):
+                self._enc_selected = e.backend
+            else:
+                self._enc_selected = self.encoder_kind
+        return self._enc_selected or self.encoder_kind
 
     def _sock_or_closed(self) -> socket.socket:
         """Local snapshot of the socket: close() from another thread sets

@@ -178,6 +178,16 @@ long copy_out(AVFrame *f, uint8_t *out, long cap, int *ow, int *oh) {
 
 long emit_frame(Dec *d, uint8_t *out, long cap, int *ow, int *oh) {
     long n = copy_out(d->frame, out, cap, ow, oh);
+    if (n < 0) {
+        // cap too small: park the frame in the queue so a retry with a
+        // bigger buffer gets THIS frame instead of silently skipping it
+        AVFrame *g = av_frame_alloc();
+        if (g) {
+            av_frame_move_ref(g, d->frame);
+            d->q.push_back(g);
+        }
+        return n;
+    }
     av_frame_unref(d->frame);
     return n;
 }
@@ -246,6 +256,8 @@ long hevclavc_dec_frame(void *h, uint8_t *out, long cap, int *ow, int *oh) {
     if (!d->q.empty()) {
         AVFrame *g = d->q.front();
         long n = copy_out(g, out, cap, ow, oh);
+        if (n < 0) return n;   // cap too small: keep the frame queued so
+                               // a retry with a bigger buffer gets it
         av_frame_free(&g);
         d->q.pop_front();
         return n;

@@ -10,20 +10,23 @@ in VERDICT r4), and any unbounded np.asarray() in the live loop then
 freezes the whole product silently — no log, no drop, no recovery.
 
 This module gives every sync a deadline. The blocking call runs on a
-disposable daemon thread (jaxlib releases the GIL around its blocking
-awaits, so the main thread stays live); the caller waits with a
-timeout, and a stall becomes a raised StallError — a logged, counted,
-skippable event — instead of a hang. A stalled worker keeps running to
-completion in the background and its result is discarded; a cap on
-concurrently-stalled workers makes a known-wedged link fail fast
-instead of accumulating threads.
+REUSABLE daemon worker from a free pool (jaxlib releases the GIL around
+its blocking awaits, so the caller's thread stays live); the caller
+waits with a timeout, and a stall becomes a raised StallError — a
+logged, counted, skippable event — instead of a hang. A stalled worker
+is abandoned: it finishes its in-flight call in the background, is
+never returned to the pool, and exits; healthy workers are recycled, so
+the live loop's per-frame syncs (~3 per frame at 137 fps) cost a queue
+hand-off, not a thread construction. A cap on concurrently-stalled
+workers makes a known-wedged link fail fast instead of accumulating
+threads.
 """
 
 from __future__ import annotations
 
+import queue
 import threading
-import time
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import numpy as np
 
@@ -34,6 +37,7 @@ MAX_STALLED = 8
 
 _stalled = 0
 _lock = threading.Lock()
+_idle: list = []                 # free pool of healthy _Worker objects
 
 
 class StallError(RuntimeError):
@@ -46,41 +50,64 @@ def stalled_workers() -> int:
         return _stalled
 
 
+class _Worker:
+    """One reusable daemon thread. Serves one call at a time from its
+    private queue; returns itself to the _idle pool after each healthy
+    call, exits after finishing an abandoned (stalled) one."""
+
+    def __init__(self) -> None:
+        self._req: queue.Queue = queue.Queue(maxsize=1)
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name="devsync-worker")
+        self._thread.start()
+
+    def submit(self, fn, box, done) -> None:
+        self._req.put((fn, box, done))
+
+    def _loop(self) -> None:
+        global _stalled
+        while True:
+            fn, box, done = self._req.get()
+            try:
+                value, error = fn(), None
+            except BaseException as e:      # surfaced to the caller
+                value, error = None, e
+            # running -> done (worker finished) | stalled (deadline
+            # passed first); every transition holds _lock, so the
+            # stalled-worker count stays exact under any interleaving
+            with _lock:
+                abandoned = box["status"] == "stalled"
+                if abandoned:
+                    _stalled -= 1           # caller gave up; discard
+                box.update(status="done", value=value, error=error)
+                if not abandoned:
+                    _idle.append(self)
+            done.set()
+            if abandoned:
+                return                      # replaced; exit quietly
+
+
 def call_deadline(fn: Callable[[], Any], timeout_s: float) -> Any:
     """Run fn() with a wall-clock deadline.
 
     Returns fn's result; raises StallError if the deadline passes (the
-    call keeps running on its daemon thread and is discarded when it
+    call keeps running on its abandoned worker and is discarded when it
     eventually finishes); re-raises fn's own exception otherwise.
     timeout_s <= 0 disables the deadline (plain call).
     """
     if timeout_s is None or timeout_s <= 0:
         return fn()
     global _stalled
+    box: dict = {"status": "running"}
+    done = threading.Event()
     with _lock:
         if _stalled >= MAX_STALLED:
             raise StallError(
                 f"link wedged: {_stalled} syncs already past deadline")
-    # running -> done (worker finished) | stalled (deadline passed first);
-    # every transition holds _lock, so the stalled-worker count stays
-    # exact under any interleaving
-    box: dict = {"status": "running"}
-    done = threading.Event()
-
-    def work():
-        global _stalled
-        try:
-            value, error = fn(), None
-        except BaseException as e:          # surfaced to the caller
-            value, error = None, e
-        with _lock:
-            if box["status"] == "stalled":
-                _stalled -= 1               # caller gave up; discard
-            box.update(status="done", value=value, error=error)
-        done.set()
-
-    threading.Thread(target=work, daemon=True,
-                     name="devsync-deadline").start()
+        worker = _idle.pop() if _idle else None
+    if worker is None:
+        worker = _Worker()
+    worker.submit(fn, box, done)
     if not done.wait(timeout_s):
         with _lock:
             if box["status"] == "running":
@@ -103,22 +130,3 @@ def read_head(x, timeout_s: float, n: int = 4) -> np.ndarray:
 def to_host(x, timeout_s: float) -> np.ndarray:
     """Full device->host download with a deadline (StallError past it)."""
     return call_deadline(lambda: np.asarray(x), timeout_s)
-
-
-def is_ready_within(x, timeout_s: float, poll_s: float = 0.005) -> bool:
-    """Poll jax.Array.is_ready() until ready or deadline. Non-blocking
-    alternative when the caller only needs completion, not the bytes —
-    note is_ready() covers device compute, not a host copy."""
-    deadline = time.monotonic() + timeout_s
-    probe = getattr(x, "is_ready", None)
-    if probe is None:
-        return True
-    while True:
-        try:
-            if call_deadline(probe, min(1.0, timeout_s)):
-                return True
-        except StallError:
-            pass                    # runtime RPC itself wedged; keep trying
-        if time.monotonic() >= deadline:
-            return False
-        time.sleep(poll_s)
