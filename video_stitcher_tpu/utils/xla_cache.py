@@ -96,6 +96,17 @@ def build_programs(cfg=None, sets=("1080p", "bench", "4k")) -> None:
         # interp-animation programs (the recalib thread's lerp compiles
         # at first use; the Runner pre-warms it the same way)
         st.interpolate_states(st.state, st.state, 0.5)
+        # update_masks recalib twin (the all-features deployment shape,
+        # blenders.cpp:297-315): the seam re-find + weight rebuild has
+        # its own program set — unprimed it cost a ~98 s first recalib
+        # in the r5 bench soak (observed as soak_recalibs=0)
+        import dataclasses as _dc
+        _cfg_keep = st.cfg
+        st.cfg = _dc.replace(cfg, update_masks=True)
+        try:
+            st.recalibrate_mesh(st.stage_frames(frames))
+        finally:
+            st.cfg = _cfg_keep
         # NV12-input twins (the production ingest path compiles separately)
         from video_stitcher_tpu.ops.color import rgb_to_nv12
         from video_stitcher_tpu.utils.hostdev import host_eager
