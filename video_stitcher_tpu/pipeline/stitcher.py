@@ -598,19 +598,26 @@ class Stitcher:
         ("causes black seams", timed.cpp:598-606); here the pre-normalized
         pyramids make the operation safe, but it stays opt-in
         (cfg.update_masks) to preserve reference behavior."""
-        from video_stitcher_tpu.blend.multiband import build_weight_pyramids
-        from video_stitcher_tpu.ops.remap import remap_planar
-        from video_stitcher_tpu.utils.hostdev import host_eager
-        mesh_maps = np.asarray(mesh_maps)   # opt-in path: host download ok
-        with host_eager():
-            w0 = self.aux["weights0"]
-            warped = np.stack([
-                np.asarray(remap_planar(
-                    jnp.asarray(w0[i][None]), jnp.asarray(mesh_maps[i, 0]),
-                    jnp.asarray(mesh_maps[i, 1]), border="constant"))[0]
-                for i in range(w0.shape[0])])
-            weight_pyr, valid = build_weight_pyramids(warped, self.geom.layout)
         from video_stitcher_tpu.utils.hostdev import commit
+        fn = getattr(self, "_rebuild_weights_jit", None)
+        if fn is None:
+            from video_stitcher_tpu.blend.multiband import \
+                build_weight_pyramids
+            from video_stitcher_tpu.ops.remap import remap_planar
+            lay = self.geom.layout
+
+            def _impl(w0, maps):
+                warped = jax.vmap(lambda w, m: remap_planar(
+                    w[None], m[0], m[1], border="constant")[0])(w0, maps)
+                return build_weight_pyramids(warped, lay)
+
+            # ONE device program (was an eager host loop: per-camera
+            # remaps + per-level pyramid ops = 238 tiny programs, a
+            # ~98 s first recalib cold and multi-second warm — the
+            # r6 bench soak recorded recalibs=0 because of it)
+            fn = self._rebuild_weights_jit = jax.jit(_impl)
+            self._weights0_dev = jnp.asarray(self.aux["weights0"])
+        weight_pyr, valid = fn(self._weights0_dev, mesh_maps)
         return state._replace(weight_pyr=commit(weight_pyr),
                               valid_mask=commit(valid))
 
