@@ -471,3 +471,97 @@ def test_runner_framed_ingest_fault_recovery(tmp_path, monkeypatch):
     total_skipped = sum(s["bytes_skipped"] for s in stats)
     assert total_resyncs >= 1, stats
     assert total_skipped >= 1333, stats
+
+
+def test_debug_order_reconnect_reuses_freed_slot():
+    """Accept-order mode: fresh slots go out in accept order, and once
+    all n are used a dropped board's reconnect takes the freed slot
+    instead of being rejected forever (review r5 — the old counter kept
+    incrementing past n)."""
+    tmp = socket.socket()
+    tmp.bind(("127.0.0.1", 0))
+    port = tmp.getsockname()[1]
+    tmp.close()
+    cfg = StitcherConfig(num_images=2, capture_img_width=32,
+                         capture_img_height=24, capture_tcp_port=port)
+    ing = CaptureIngest(cfg, backend="python")
+    assert ing.debug_order        # cfg.capture_debug_order default
+    ing.start()
+    try:
+        fb = 32 * 24
+        rng = np.random.default_rng(11)
+        a, b, c = (rng.integers(0, 255, (24, 32)).astype(np.uint8)
+                   for _ in range(3))
+        s0 = socket.create_connection(("127.0.0.1", port), timeout=5)
+        s0.sendall(a.tobytes())
+        time.sleep(0.3)
+        s1 = socket.create_connection(("127.0.0.1", port), timeout=5)
+        s1.sendall(b.tobytes())
+        time.sleep(0.2)
+        np.testing.assert_array_equal(ing.pop_frame(0, timeout=5.0), a)
+        np.testing.assert_array_equal(ing.pop_frame(1, timeout=5.0), b)
+        # drop board 0; its reconnect must land back on slot 0
+        s0.close()
+        time.sleep(0.3)
+        s2 = socket.create_connection(("127.0.0.1", port), timeout=5)
+        s2.sendall(c.tobytes())
+        time.sleep(0.2)
+        got = ing.pop_frame(0, timeout=5.0)
+        assert got is not None, "reconnected board rejected"
+        np.testing.assert_array_equal(got, c)
+        s1.close()
+        s2.close()
+    finally:
+        ing.stop()
+
+
+def test_get_frames_retains_partial_pops():
+    """A per-camera timeout must not discard frames already popped for
+    the other cameras: the retained frames pair with the stalled
+    camera's frame on the next call (review r5 — the old discard left a
+    persistent one-frame temporal skew between camera groups)."""
+    cfg = StitcherConfig(num_images=2, capture_img_width=16,
+                         capture_img_height=12, capture_tcp_port=0)
+    ing = CaptureIngest(cfg, backend="python")   # not started: queues only
+    f0 = np.full((12, 16), 1, np.uint8)
+    f1 = np.full((12, 16), 2, np.uint8)
+    ing._queues[0].push(f0)
+    assert ing.get_frames(timeout=0.1) is None   # cam1 empty -> timeout
+    ing._queues[1].push(f1)
+    out = ing.get_frames(timeout=0.5)
+    assert out is not None
+    np.testing.assert_array_equal(out[0], f0)    # retained, not dropped
+    np.testing.assert_array_equal(out[1], f1)
+
+
+def test_ingest_stop_closes_accepted_connections():
+    """stop() must close per-camera connections, not just the listener:
+    otherwise recv threads stay blocked on live sockets and the boards
+    keep streaming into closed queues (review r5)."""
+    tmp = socket.socket()
+    tmp.bind(("127.0.0.1", 0))
+    port = tmp.getsockname()[1]
+    tmp.close()
+    cfg = StitcherConfig(num_images=1, capture_img_width=16,
+                         capture_img_height=12, capture_tcp_port=port)
+    ing = CaptureIngest(cfg, backend="python")
+    ing.start()
+    s = socket.create_connection(("127.0.0.1", port), timeout=5)
+    time.sleep(0.3)
+    ing.stop()
+    # the server-side close must surface on the board's socket promptly
+    s.settimeout(5.0)
+    deadline = time.monotonic() + 5.0
+    closed = False
+    while time.monotonic() < deadline:
+        try:
+            if s.recv(4096) == b"":
+                closed = True
+                break
+        except socket.timeout:
+            break
+        except OSError:
+            closed = True
+            break
+    s.close()
+    assert closed, "accepted connection still open after stop()"

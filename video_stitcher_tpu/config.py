@@ -147,6 +147,12 @@ class StitcherConfig:
     #: dropped frames. Off = the reference's raw NV12 stream
     #: (networking.cpp:15-65), which shears forever on a lost byte.
     capture_framing: bool = False
+    #: camera-slot assignment: True = accept order (local rigs / tests,
+    #: where every board connects from the same address); False = the
+    #: reference's fixed-IP scheme, slot = last address octet -
+    #: client_addr_start (networking.cpp:17, defs.h:31) — use on
+    #: production rigs so slots survive connect races and reconnects.
+    capture_debug_order: bool = True
 
     # --- file input (defs.h:22-24,44,74) ---
     video_files: Tuple[str, ...] = ()

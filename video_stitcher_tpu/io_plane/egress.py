@@ -158,7 +158,14 @@ class HevcEncoder:
         except OSError:
             pass
         self._proc.terminate()
-        self._proc.wait(timeout=5)
+        try:
+            self._proc.wait(timeout=5)
+        except subprocess.TimeoutExpired:
+            # encoder ignoring SIGTERM (e.g. blocked on a full stdout
+            # pipe): escalate rather than raising out of a caller's
+            # finally block
+            self._proc.kill()
+            self._proc.wait(timeout=5)
 
 
 class PlayerEgress:
@@ -371,13 +378,19 @@ class PlayerEgress:
         frame_rgb = self._pad_even(frame_rgb)
         if self.sock is None:
             self.connect()
-        sock = self._sock_or_closed()
-        if not self._sent_height and self.cfg.send_height_info:
-            # height prelude (timed.cpp:296-305)
-            sock.sendall(struct.pack("<i", frame_rgb.shape[0]))
-            self._sent_height = True
-        payload = self._encode(frame_rgb)
         try:
+            # the WHOLE sequence is recoverable, not just the payload
+            # send: a dead encoder subprocess raises from _encode
+            # (BrokenPipeError) and a stale socket can fail on the
+            # height prelude — both previously escaped the reconnect
+            # path and left the dead encoder cached in _enc, breaking
+            # every subsequent frame
+            sock = self._sock_or_closed()
+            if not self._sent_height and self.cfg.send_height_info:
+                # height prelude (timed.cpp:296-305)
+                sock.sendall(struct.pack("<i", frame_rgb.shape[0]))
+                self._sent_height = True
+            payload = self._encode(frame_rgb)
             if payload:
                 sock.sendall(payload)
         except OSError:
@@ -386,7 +399,10 @@ class PlayerEgress:
             # reconnect + reopen encoder so the new connection starts a
             # clean bitstream (VPS/SPS/PPS + IDR), timed.cpp:331-348
             if self._enc is not None:
-                self._enc.close()
+                try:
+                    self._enc.close()
+                except Exception:       # dead subprocess may refuse close
+                    pass
                 self._enc = None
             self.connect()
             sock = self._sock_or_closed()

@@ -47,15 +47,35 @@ def pack_frame(payload: bytes, seq: int) -> bytes:
 class CaptureIngest:
     """start() then get_frames() -> u8 [N, H*3/2, W] NV12 stacks."""
 
-    def __init__(self, cfg: StitcherConfig, debug_order: bool = True,
+    def __init__(self, cfg: StitcherConfig, debug_order: bool = None,
                  backend: str = "auto", max_queue: int = 4):
         self.cfg = cfg
         self.w = cfg.capture_img_width
         self.h_nv12 = cfg.capture_img_height          # = 3/2 * image height
         self.frame_bytes = self.w * self.h_nv12
         self.n = cfg.num_images
-        self.debug_order = debug_order
+        #: slot assignment: accept order (tests/local rigs, every board
+        #: connects from 127.0.0.1) vs the reference's IP-octet scheme
+        #: (last octet - CLIENT_ADDR_START, networking.cpp:17 /
+        #: defs.h:31) for production rigs with fixed camera addresses.
+        #: Configurable (cfg.capture_debug_order) — it was a ctor-only
+        #: flag no production caller could reach.
+        self.debug_order = (cfg.capture_debug_order
+                            if debug_order is None else debug_order)
         self.max_queue = max_queue
+        #: frames already popped for some cameras while another timed
+        #: out — retained so a transient per-camera stall skews pairing
+        #: by at most one frame instead of permanently offsetting the
+        #: recovered cameras
+        self._pending: List[Optional[np.ndarray]] = [None] * self.n
+        #: debug_order slot assignment: fresh slots in accept order
+        #: first (deterministic for sequential local connects), then a
+        #: dropped board's reconnect takes the lowest freed slot (an
+        #: ever-incrementing counter rejected rejoins forever)
+        self._next_slot = 0
+        self._free_slots: List[int] = []
+        self._slot_mu = threading.Lock()
+        self._conns: List[socket.socket] = []
         self.framing = bool(getattr(cfg, "capture_framing", False))
         #: per-camera counters: frames_ok, resyncs, bytes_skipped, seq_gaps,
         #: drops (frames lost to the bounded queue's drop-oldest policy)
@@ -111,29 +131,63 @@ class CaptureIngest:
                 self._server.close()
             except OSError:
                 pass
+        # close accepted per-camera connections too: recv threads would
+        # otherwise stay blocked in conn.recv() on live sockets, leaking
+        # fds and draining board streams into closed queues forever
+        with self._slot_mu:
+            conns = list(self._conns)
+        for c in conns:
+            try:
+                # shutdown first: close() alone doesn't send FIN (or wake
+                # the recv thread) while another thread is blocked in
+                # recv() on the same socket
+                c.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                c.close()
+            except OSError:
+                pass
         for q in self._queues:
             q.close()
 
     # ------------------------------------------------------------------
     def _accept_loop(self) -> None:
-        order = 0
         while self._running:
             try:
                 conn, addr = self._server.accept()
             except OSError:
                 break
             if self.debug_order:
-                slot = order
+                with self._slot_mu:
+                    if self._next_slot < self.n:
+                        slot = self._next_slot
+                        self._next_slot += 1
+                    elif self._free_slots:
+                        self._free_slots.sort()
+                        slot = self._free_slots.pop(0)
+                    else:
+                        slot = -1
             else:
                 slot = int(addr[0].rsplit(".", 1)[-1]) - self.cfg.client_addr_start
             if not (0 <= slot < self.n):
                 conn.close()
                 continue
-            order += 1
+            with self._slot_mu:
+                self._conns.append(conn)
             t = threading.Thread(target=self._recv_loop, args=(conn, slot),
                                  daemon=True)
             t.start()
             self._threads.append(t)
+
+    def _release_slot(self, conn: socket.socket, slot: int) -> None:
+        """Recv-loop exit: free the connection record and (debug-order
+        mode) return the slot so a reconnecting board can rejoin."""
+        with self._slot_mu:
+            if conn in self._conns:
+                self._conns.remove(conn)
+            if self.debug_order and slot not in self._free_slots:
+                self._free_slots.append(slot)
 
     def _recv_loop(self, conn: socket.socket, slot: int) -> None:
         """Frame reassembly incl. the reference's 3-retry policy
@@ -169,6 +223,7 @@ class CaptureIngest:
                     st["frames_ok"] += 1
                     index = 0
         conn.close()
+        self._release_slot(conn, slot)
 
     def _recv_loop_framed(self, conn: socket.socket, slot: int) -> None:
         """Framed reassembly: validate header at the stream head; on any
@@ -212,7 +267,10 @@ class CaptureIngest:
                         break
                     st["bytes_skipped"] += i
                     del pending[:i]
-                    in_desync = False
+                    # in_desync stays set until a VALIDATED header is
+                    # consumed below: a candidate magic inside payload
+                    # bytes that fails the ln check must not count as a
+                    # second desync event
                     continue
                 if len(pending) < HEADER_BYTES + fb:
                     break
@@ -231,6 +289,7 @@ class CaptureIngest:
                         self.h_nv12, self.w))
                 st["frames_ok"] += 1
         conn.close()
+        self._release_slot(conn, slot)
 
     # ------------------------------------------------------------------
     def stats(self):
@@ -279,11 +338,22 @@ class CaptureIngest:
 
     def get_frames(self, timeout: Optional[float] = None
                    ) -> Optional[np.ndarray]:
-        """Pop one NV12 frame per camera -> u8 [N, H*3/2, W] (or None)."""
-        frames = []
+        """Pop one NV12 frame per camera -> u8 [N, H*3/2, W] (or None).
+
+        Frames already popped before another camera timed out are
+        RETAINED (self._pending) and completed by the next call — the
+        old discard left the early cameras' streams permanently one
+        frame ahead of the stalled one (persistent temporal skew in the
+        pano). A retained frame can be up to one stall old, but the
+        bounded drop-oldest camera queues keep the streams themselves
+        fresh, so pairing re-aligns within a frame of recovery."""
+        pend = self._pending
         for cam in range(self.n):
-            f = self.pop_frame(cam, timeout)
-            if f is None:
-                return None
-            frames.append(f)
-        return np.stack(frames)
+            if pend[cam] is None:
+                f = self.pop_frame(cam, timeout)
+                if f is None:
+                    return None
+                pend[cam] = f
+        out = np.stack(pend)
+        self._pending = [None] * self.n
+        return out

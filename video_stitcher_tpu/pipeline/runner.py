@@ -125,10 +125,23 @@ class Runner:
             class _NV12Source:
                 """Hands raw NV12 [N, H*3/2, W] straight through — the
                 stitch step converts on device (half the upload bytes of
-                RGB; defs.h:10-17 capture format)."""
+                RGB; defs.h:10-17 capture format).
+
+                Live capture has no EOF — a get_frames timeout is a
+                transient stall (board reboot, network hiccup), so it
+                retries with logging before giving up, mirroring the
+                reference's 3-failed-recv policy (networking.cpp:29-37)
+                at rig level. Only repeated exhaustion ends the run."""
 
                 def get_frames(self_inner):
-                    return ingest.get_frames(timeout=10.0)
+                    for attempt in range(3):
+                        frames = ingest.get_frames(timeout=10.0)
+                        if frames is not None:
+                            return frames
+                        log.warning(
+                            "capture rig produced no full frame set in "
+                            "10 s (attempt %d/3) — retrying", attempt + 1)
+                    return None
 
                 def release(self_inner):
                     ingest.stop()
@@ -285,13 +298,20 @@ class Runner:
                      " [" + ing.stats_summary() + "]" if ing else "")
 
     def _consume_loop(self):
-        while True:
-            item = self.results.pop(timeout=1.0)
-            if item is None:
-                if self._stop.is_set():
-                    break
-                continue
-            self._consume_one(item)
+        try:
+            while True:
+                item = self.results.pop(timeout=1.0)
+                if item is None:
+                    if self._stop.is_set():
+                        break
+                    continue
+                self._consume_one(item)
+        except Exception as e:      # noqa: BLE001 — a dead consumer would
+            # otherwise wedge the main thread forever inside
+            # results.push(block=True) with nothing to drain the queue
+            log.error("consumer thread failed: %s — ending run", e)
+            self._stop.set()
+            self.results.close()
 
     # --- staging (double-buffered H2D) ----------------------------------
     _EOF = object()
@@ -304,16 +324,21 @@ class Runner:
         flight so a slow consumer applies backpressure, and the staged
         device array doubles as the recalibration thread's input (no
         second upload of the same frames)."""
-        while not self._stop.is_set():
-            with self.timers.time("acquire"):
-                frames = source.get_frames()
-            if frames is None:
-                self._staged.push(Runner._EOF, block=True)
-                return
-            dev = self._stage_bounded(frames)
-            if dev is None:
-                continue                      # staging stalled; frame dropped
-            self._staged.push((dev, time.perf_counter()), block=True)
+        try:
+            while not self._stop.is_set():
+                with self.timers.time("acquire"):
+                    frames = source.get_frames()
+                if frames is None:
+                    break
+                dev = self._stage_bounded(frames)
+                if dev is None:
+                    continue                  # staging stalled; frame dropped
+                self._staged.push((dev, time.perf_counter()), block=True)
+        except Exception as e:  # noqa: BLE001 — without the EOF below a
+            # dead stager leaves the main loop polling _staged forever
+            log.error("stager thread failed: %s — ending run", e)
+        finally:
+            self._staged.push(Runner._EOF, block=True)
 
     def _stage_bounded(self, frames):
         """stage_frames with the sync deadline: returns the staged device
@@ -332,6 +357,22 @@ class Runner:
             log.warning("frame staging stalled past %.1fs (%d so far) — "
                         "frame set dropped", timeout_s, self.stage_stalls)
             return None
+
+    def _trace_tick(self, tracing: bool) -> bool:
+        """One step of the device-trace window policy (shared by both
+        pipeline modes): start after the compile frame, stop after
+        cfg.trace_frames traced frames."""
+        cfg = self.cfg
+        if cfg.trace_dir and not tracing and self.frames_done == 1:
+            from video_stitcher_tpu.utils.trace import start_device_trace
+            start_device_trace(cfg.trace_dir)
+            return True
+        if tracing and self.frames_done >= cfg.trace_frames + 1:
+            from video_stitcher_tpu.utils.trace import stop_device_trace
+            stop_device_trace()
+            log.info("device trace written to %s", cfg.trace_dir)
+            return False
+        return tracing
 
     @staticmethod
     def _to_rgb_host(frames):
@@ -403,16 +444,7 @@ class Runner:
             t_staged = time.perf_counter()
             with self._latest_lock:
                 self._latest_frames = dev
-            if (cfg.trace_dir and not tracing
-                    and self.frames_done == 1):     # skip the compile frame
-                from video_stitcher_tpu.utils.trace import start_device_trace
-                start_device_trace(cfg.trace_dir)
-                tracing = True
-            elif tracing and self.frames_done >= cfg.trace_frames + 1:
-                from video_stitcher_tpu.utils.trace import stop_device_trace
-                stop_device_trace()
-                tracing = False
-                log.info("device trace written to %s", cfg.trace_dir)
+            tracing = self._trace_tick(tracing)
             with self.timers.time("stitch"):
                 out = self.stitcher.stitch_out(dev, device=True)
             ring.append((out, dev if self.frames_done == 0 else None,
@@ -433,16 +465,23 @@ class Runner:
     def run(self) -> None:
         cfg = self.cfg
         source = self._make_source()
-        frames = source.get_frames()
-        if frames is None:
-            raise RuntimeError("couldn't read initial frames")
-        if self.stitcher.state is None:
-            t0 = time.perf_counter()
-            self.stitcher.calibrate(self._to_rgb_host(frames))
-            log.info("Calibration done in: %.0f ms",
-                     (time.perf_counter() - t0) * 1e3)
-        else:
-            log.info("using pre-calibrated stitcher")
+        try:
+            frames = source.get_frames()
+            if frames is None:
+                raise RuntimeError("couldn't read initial frames")
+            if self.stitcher.state is None:
+                t0 = time.perf_counter()
+                self.stitcher.calibrate(self._to_rgb_host(frames))
+                log.info("Calibration done in: %.0f ms",
+                         (time.perf_counter() - t0) * 1e3)
+            else:
+                log.info("using pre-calibrated stitcher")
+        except BaseException:
+            # pre-loop failure: the ingest server/threads must not be
+            # left running (a retry in-process would find the capture
+            # port still bound and the boards still being drained)
+            source.release()
+            raise
 
         if self._use_inline():
             recalib = threading.Thread(target=self._recalib_loop, daemon=True)
@@ -479,18 +518,7 @@ class Runner:
                     log.info("source exhausted")
                     break
                 frames, t_staged = item
-                if (cfg.trace_dir and not tracing
-                        and self.frames_done == 1):   # skip the compile frame
-                    from video_stitcher_tpu.utils.trace import \
-                        start_device_trace
-                    start_device_trace(cfg.trace_dir)
-                    tracing = True
-                elif tracing and self.frames_done >= cfg.trace_frames + 1:
-                    from video_stitcher_tpu.utils.trace import \
-                        stop_device_trace
-                    stop_device_trace()
-                    tracing = False
-                    log.info("device trace written to %s", cfg.trace_dir)
+                tracing = self._trace_tick(tracing)
                 with self._latest_lock:
                     self._latest_frames = frames
                 with self.timers.time("stitch"):
