@@ -367,6 +367,38 @@ def test_e2e_prewarp_minified():
     assert val > 30.0, f"prewarp PSNR {val:.1f} dB too low"
 
 
+def test_e2e_nonwrap_weight_coverage():
+    """Non-wrap rigs (u0 != 0): blend weights must land on the pano, not
+    u0*ratio px into the seam canvas's replicate border (review r5 —
+    the shifted sampling left 79% of valid pano pixels at ~zero weight;
+    wrap layouts have u0=0, which masked it)."""
+    import jax.numpy as jnp
+    from video_stitcher_tpu.blend.multiband import place_bands
+    cfg = StitcherConfig(num_images=3, input_width=320, input_height=180,
+                         wrap_around=False, yaws=(0.0, 0.6, 1.2),
+                         enable_local=False, recalibrate=False)
+    geom, _ = plan_geometry(cfg)
+    assert geom.layout.u0 != 0
+    rng = np.random.default_rng(3)
+    scene = make_scene(geom.layout.pano_w, geom.layout.pano_h, rng)
+    frames = render_views(cfg, geom, scene)
+    st = Stitcher(cfg)
+    st.calibrate(frames)
+    w0 = np.asarray(st.aux["weights0"])
+    total = np.asarray(place_bands(jnp.asarray(w0)[:, None],
+                                   geom.layout, 0))[0]
+    vm = np.asarray(st.state.valid_mask) > 0
+    cov = float((total[vm] > 0.5).mean())
+    assert cov > 0.9, f"blend-weight coverage {cov:.3f} over valid pano"
+    # end-to-end fidelity: pano col x <-> cylinder u0 + x
+    pano = st.stitch(frames)
+    gt = np.roll(np.moveaxis(scene, 0, -1), -int(geom.layout.u0), axis=1)
+    h = geom.pano_h
+    sel = vm[h // 4: 3 * h // 4]
+    val = psnr(pano[h // 4: 3 * h // 4][sel], gt[h // 4: 3 * h // 4][sel])
+    assert val > 30.0, f"non-wrap scene PSNR {val:.1f} dB"
+
+
 def test_e2e_prewarp_nv12():
     """NV12 ingest under prewarp takes the fused scale-at-1.5B/px
     conversion (ops/color.py nv12_to_rgb_planar_scaled); the stitched

@@ -306,8 +306,15 @@ def _compose_products_device(seam_masks, band_maps, geom: StitchGeometry,
     ys = ((jnp.arange(lay.band_h, dtype=jnp.float32) + np.float32(lay.v0))
           * np.float32(sc.ratio) - np.float32(sc.v0))
     corners = jnp.asarray(np.asarray(lay.corners, np.float32))
+    # canvas col = cylinder_u_seam - u0*ratio (the canvas origin,
+    # _seam_canvas_maps): for band col x of camera i, cylinder u at
+    # compose scale is x + u0 + corners[i], so the origin's u0*ratio
+    # cancels — exactly as ys subtracts sc.v0. Keeping the +u0 shifted
+    # every non-wrap rig's weights by u0*ratio px into the replicate
+    # border (wrap layouts have u0=0, which masked it): measured 79% of
+    # valid pano pixels at ~zero blend weight on a 3-cam partial ring.
     xs = ((jnp.arange(lay.band_w, dtype=jnp.float32)[None, :]
-           + np.float32(lay.u0) + corners[:, None])
+           + corners[:, None])
           * np.float32(sc.ratio))                        # [N, bw]
     border = "wrap" if geom.wrap else "replicate"
 
@@ -379,7 +386,12 @@ def _compose_fused_maps_impl(geom, band_maps, mesh_maps=None):
             sampled = np.asarray(remap_planar(
                 jnp.asarray(maps[i]), jnp.asarray(mesh_maps[i, 0]),
                 jnp.asarray(mesh_maps[i, 1]), border="replicate"))
-            # where the mesh map is out of band bounds, keep invalid
+            # mesh coords past the band edge sample the CLAMPED edge of
+            # the global map (replicate border; the device twin
+            # compose_fused_maps_device matches) — the -1 invalid
+            # sentinel survives only where the edge itself is invalid.
+            # Mesh displacements are a few px (recalib_thresh-scale), so
+            # the clamp affects at most that many edge pixels.
             out[i] = sampled
         maps = out
     return np.asarray(_to_warp_source(maps, geom)).astype(np.float32)

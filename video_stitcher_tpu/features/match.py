@@ -14,8 +14,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.uint32(0xFFFFFFFF)
-
 
 class Matches(NamedTuple):
     query: jnp.ndarray     # i32 [K] index into set 1
@@ -48,7 +46,13 @@ def knn_ratio_match(d1, d2, valid1=None, valid2=None,
     ok = best < ratio * second
     if valid1 is not None:
         ok = ok & valid1
-    ok = ok & (best < jnp.float32(1 << 29))
+    # BOTH neighbors must be real candidates: when the second-best is
+    # the invalid sentinel (one valid train descriptor in the whole
+    # set), the ratio test would trivially pass for every query and
+    # accept many-to-one garbage — cv2's knnMatch(k=2) likewise yields
+    # no ratio-checkable pair there (featurefinder.cpp:50-68)
+    ok = ok & (best < jnp.float32(1 << 29)) \
+        & (second < jnp.float32(1 << 29))
     k1 = d1.shape[0]
     return Matches(query=jnp.arange(k1, dtype=jnp.int32),
                    train=idx2[:, 0].astype(jnp.int32),

@@ -357,18 +357,34 @@ class CPWSolver:
 
         fp_avg, use_old = self._stability_filter(matches)
 
+        # the matches each pair actually contributes this solve
+        eff = [self.old_matches[i] if (use_old[i] and
+                                       self.old_matches[i] is not None)
+               else matches[i] for i in range(self.C)]
+
         blocks: list = []           # (cols [R,E], vals [R,E], b [R])
         for cam in range(self.C):
-            m = self.old_matches[cam] if (use_old[cam] and
-                                          self.old_matches[cam] is not None) \
-                else matches[cam]
+            m = eff[cam]
             if m is not None and len(m.p1):
                 blk = self._local_block(cam, m, a_local)
                 if blk is not None:
                     blocks.append(blk)
-                pts = m.p1
-            else:
-                pts = np.zeros((0, 2))
+            # global-anchor exemption points: this pair's p1 (the
+            # reference's selected_points, meshwarper.cpp:185-193) PLUS
+            # the neighboring pair's p2 landing in THIS camera's band —
+            # deviation: the local term pulls camera dst at p2
+            # (meshwarper.cpp:596-709 both-endpoint rows), so anchoring
+            # those same vertices to rest fought the pull whenever one
+            # side of a seam contributed all the matches.
+            pts_parts = []
+            if m is not None and len(m.p1):
+                pts_parts.append(m.p1)
+            m_next = eff[(cam + 1) % self.C]
+            if (m_next is not None and len(m_next.p1)
+                    and m_next.dst == cam):
+                pts_parts.append(m_next.p2)
+            pts = (np.concatenate(pts_parts)
+                   if pts_parts else np.zeros((0, 2)))
             blocks.append(self._global_block(cam, pts, a_global))
             sal = (salience[cam] if salience is not None
                    else self._salience(band_imgs[cam]))
@@ -382,16 +398,24 @@ class CPWSolver:
                 if blk is not None:
                     blocks.append(blk)
 
-        # update stability state (meshwarper.cpp:313-334)
+        # update stability state (meshwarper.cpp:313-334). Deviation:
+        # the reference refreshes the NEIGHBOR pair's retained state
+        # unconditionally whenever pair idx refreshes (its own "//TODO:
+        # don't skip matched features" marks the spot) — clobbering a
+        # stable pair's validated matches with this frame's set that
+        # the recalib_thresh test just said to ignore. Here a pair's
+        # state only refreshes when ITS stability test says so.
         for idx in range(self.C):
             idx2 = (idx - 1) % self.C
             if use_old[idx] and self.old_matches[idx] is not None:
                 continue
             self.old_matches[idx] = matches[idx]
-            self.old_matches[idx2] = matches[idx2]
-            for k in (idx, idx2):
-                self.prev_avg[k * 2] = fp_avg[k * 2]
-                self.prev_avg[k * 2 + 1] = fp_avg[k * 2 + 1]
+            self.prev_avg[idx * 2] = fp_avg[idx * 2]
+            self.prev_avg[idx * 2 + 1] = fp_avg[idx * 2 + 1]
+            if not (use_old[idx2] and self.old_matches[idx2] is not None):
+                self.old_matches[idx2] = matches[idx2]
+                self.prev_avg[idx2 * 2] = fp_avg[idx2 * 2]
+                self.prev_avg[idx2 * 2 + 1] = fp_avg[idx2 * 2 + 1]
 
         # assembly: pure array concatenation (row order is irrelevant to
         # the normal equations), then GIL-releasing scipy/LAPACK

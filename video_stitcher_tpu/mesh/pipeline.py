@@ -17,7 +17,7 @@ from video_stitcher_tpu.features.match import knn_ratio_match
 from video_stitcher_tpu.features.ransac import ransac_homography
 from video_stitcher_tpu.mesh.cpw import CamMatches, CPWSolver, TemporalMatches
 from video_stitcher_tpu.mesh.mesh2map import coarse_backward_disp
-from video_stitcher_tpu.ops.color import rgb_to_gray
+from video_stitcher_tpu.ops.color import rgb_to_gray_planar
 from video_stitcher_tpu.ops.remap import remap_planar
 
 Y_DIFF_MAX = 40.0          # meshwarper.cpp:935
@@ -157,7 +157,6 @@ def _salience_all(bands, qn: int, qm: int):
 
 
 _match_jit = jax.jit(knn_ratio_match)
-_ransac_jit = jax.jit(ransac_homography)
 
 
 @jax.jit
@@ -210,9 +209,9 @@ def prewarm_mesh_programs(cfg, geom, strip_warp: bool = False) -> None:
     def st(shape, dtype=jnp.float32):
         return jax.ShapeDtypeStruct(shape, dtype)
 
-    frames_st = (st((c, geom.src_h, geom.src_w, 3), jnp.uint8)
-                 if not geom.prewarp
-                 else st((c, geom.src_h, geom.src_w, 3), jnp.uint8))
+    # frames enter at FULL source resolution in both modes (prewarp's
+    # resize happens inside the jitted program, not at the boundary)
+    frames_st = st((c, geom.src_h, geom.src_w, 3), jnp.uint8)
     maps_st = st((c, 2, bh, bw))
     # pad_maps_device output shape (rows to sublane tile, lanes to 128)
     ph, pw = _round_up(bh, ROW_ALIGN), _round_up(bw, 128)
@@ -244,19 +243,24 @@ def prewarm_mesh_programs(cfg, geom, strip_warp: bool = False) -> None:
             key = st((2,), jnp.uint32)
             _match_ransac_one.lower(xy, xy, d, d, v, v, key,
                                     cfg.lowe_ratio).compile()
-            if cfg.alphas[3] > 0:
-                # the temporal term matches frame t vs t-1 with the
-                # standalone matcher even in chunked mode — compile it
-                # here, not inside the first live solve
-                _match_jit.lower(d, d, v, v, cfg.lowe_ratio).compile()
         else:
+            # the program run() actually executes in non-chunked mode:
+            # ALL ring pairs' match + gather + RANSAC as one vmapped
+            # dispatch (the old prewarm compiled the standalone
+            # _match_jit/_ransac_jit here, which that path never calls
+            # — the heaviest program of the set then compiled inside
+            # the first live recalibration)
+            xyc = st((c, kp, 2))
+            dc = st((c, kp, 8), jnp.uint32)
+            vc = st((c, kp), jnp.bool_)
+            keysc = st((c, 2), jnp.uint32)
+            _match_ransac_all_jit.lower(xyc, dc, vc, keysc,
+                                        cfg.lowe_ratio).compile()
+        if cfg.alphas[3] > 0:
+            # the temporal term matches frame t vs t-1 with the
+            # standalone matcher in BOTH modes — compile it here, not
+            # inside the first live solve
             _match_jit.lower(d, d, v, v, cfg.lowe_ratio).compile()
-
-    def f_ransac():
-        p = st((kp, 2))
-        v = st((kp,), jnp.bool_)
-        key = st((2,), jnp.uint32)
-        _ransac_jit.lower(p, p, v, key).compile()
 
     def f_salience():
         _salience_all.lower(st((c, 3, bh, bw)), cfg.mesh_height - 1,
@@ -289,7 +293,7 @@ def prewarm_mesh_programs(cfg, geom, strip_warp: bool = False) -> None:
     # biggest program of the set (48 s of the 76 s cold calibration on
     # the dev TPU), so skip it when the strip kernel will be used (the
     # strip twin compiles in ~4 s at first use, after the plan exists)
-    jobs = [f_detect, f_match, f_ransac, f_salience,
+    jobs = [f_detect, f_match, f_salience,
             f_compose, f_plan_bits]
     if cfg.update_masks:
         # dense mesh maps are only materialized on the opt-in
@@ -351,9 +355,8 @@ class MeshPipeline:
             global_dist=cfg.global_dist, recalib_thresh=cfg.recalib_thresh_px,
             shrink_px=cfg.mesh_shrink_px)
         self.key = jax.random.PRNGKey(rng_seed)
-        # module-level shared jits (NOT per-instance): prewarm_mesh_programs
-        # compiles them ahead of the first recalibration
-        self._ransac = _ransac_jit
+        # module-level shared jit (NOT per-instance): prewarm_mesh_programs
+        # compiles it ahead of the first recalibration (temporal term)
         self._match = _match_jit
         # previous-frame keypoints, for the temporal CPW term
         # (featurefinder.cpp matchFeaturesTemporal); populated only when
@@ -385,7 +388,7 @@ class MeshPipeline:
         else:
             bands = _warp_bands_global_jit(frames, self.global_maps,
                                            geom)             # [C,3,bh,bw]
-        gray = (bands[:, 0] * 0.299 + bands[:, 1] * 0.587 + bands[:, 2] * 0.114)
+        gray = rgb_to_gray_planar(bands, axis=1)
         nonblack = (jnp.max(bands, axis=1) > 0).astype(jnp.float32)
         masks = self.overlap_masks * nonblack
 

@@ -162,6 +162,15 @@ def rgb_to_gray(rgb):
     return rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
 
 
+def rgb_to_gray_planar(rgb, axis: int = -3):
+    """Planar twin of rgb_to_gray: channels on `axis` (default [..., 3,
+    H, W]) — no channel-last transpose, which is a layout change on
+    TPU."""
+    r, g, b = (jnp.take(rgb, i, axis=axis).astype(jnp.float32)
+               for i in range(3))
+    return r * 0.299 + g * 0.587 + b * 0.114
+
+
 def bgr_to_gray(bgr):
     return rgb_to_gray(bgr[..., ::-1])
 
