@@ -245,4 +245,9 @@ def test_orb_512_vs_2500_mesh_equivalence_natural():
 
     d = np.abs(np.asarray(maps_a) - np.asarray(maps_b))
     assert float(np.median(d)) < 0.1, f"median mesh delta {np.median(d):.3f}px"
-    assert float(d.max()) < 0.5, f"max mesh delta {d.max():.3f}px"
+    # max bound history: 0.5 px while the resized-mask threshold bug
+    # silently limited BOTH configs to level-0 detection; with
+    # multi-scale active (r5 fix) the 4-level and 8-level pyramids
+    # legitimately keep different near-tied keypoints at isolated
+    # vertices (measured 1.37 px here, median unchanged)
+    assert float(d.max()) < 2.0, f"max mesh delta {d.max():.3f}px"

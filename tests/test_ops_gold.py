@@ -230,3 +230,18 @@ def test_stitch_nv12_matches_rgb():
     # path keeps them in bf16, so allow the rounding step
     diff = np.abs(a.astype(int) - b.astype(int))
     assert diff.max() <= 2, diff.max()
+
+
+def test_remap_nearest_half_to_even(rng):
+    """cv2 INTER_NEAREST rounds half-to-EVEN (cvRound); pin the exact
+    tie behavior (review r5 — floor(x+0.5) diverged at .5 coords)."""
+    from video_stitcher_tpu.ops.remap import remap_planar
+    import jax.numpy as jnp
+    img = np.arange(16, dtype=np.float32).reshape(2, 8)
+    mx = np.array([[1.5, 2.5, 3.5, 4.5]], np.float32)
+    my = np.zeros_like(mx)
+    gold = cv2.remap(img, mx, my, cv2.INTER_NEAREST)
+    got = np.asarray(remap_planar(jnp.asarray(img[None]), jnp.asarray(mx),
+                                  jnp.asarray(my),
+                                  interpolation="nearest"))[0]
+    np.testing.assert_array_equal(got, gold)

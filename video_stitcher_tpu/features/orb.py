@@ -206,8 +206,13 @@ def detect_and_describe(gray, mask=None, *, max_keypoints: int = 512,
         fsc = jnp.where(corner, fscore, -jnp.inf)
         ok = corner & _nms3(fsc) & inb
         if mask is not None:
-            m = mask if lvl == 0 else (resize_planar(
-                mask.astype(jnp.float32), hh, wh) > 127)
+            # contract is ">0 = allowed" (any scale: production passes
+            # 0/1 overlap masks, tools may pass 0/255) — binarize FIRST,
+            # then threshold the bilinear resize at half. The old
+            # `> 127` on the resized values silently masked out every
+            # level >= 1 for 0/1 masks, degrading ORB to single-scale.
+            m01 = (mask > 0).astype(jnp.float32)
+            m = m01 if lvl == 0 else (resize_planar(m01, hh, wh) > 0.5)
             ok = ok & (m > 0)
         resp = jnp.where(ok, harris, -jnp.inf)
         # approx_max_k: TPU-native approximate top-k (partial-reduce
@@ -230,9 +235,13 @@ def detect_and_describe(gray, mask=None, *, max_keypoints: int = 512,
         oyn, oyp = sp[:-2, 1:-1], sp[2:, 1:-1]
         dx_den = oxn - 2.0 * c0 + oxp
         dy_den = oyn - 2.0 * c0 + oyp
-        off_x = jnp.where(jnp.abs(dx_den) > 1e-6,
+        # fit only CONCAVE peaks (den < 0): NMS ran on the corner-masked
+        # score, so a non-corner neighbor can sit above c0 in the raw
+        # margin score — a positive denominator is then the parabola's
+        # MINIMUM and the offset would push the keypoint the wrong way
+        off_x = jnp.where(dx_den < -1e-6,
                           0.5 * (oxn - oxp) / dx_den, 0.0)
-        off_y = jnp.where(jnp.abs(dy_den) > 1e-6,
+        off_y = jnp.where(dy_den < -1e-6,
                           0.5 * (oyn - oyp) / dy_den, 0.0)
         off_x = jnp.clip(off_x, -0.5, 0.5).reshape(-1)[top_i]
         off_y = jnp.clip(off_y, -0.5, 0.5).reshape(-1)[top_i]

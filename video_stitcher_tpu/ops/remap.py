@@ -70,9 +70,11 @@ def remap_planar(img, map_x, map_y, *, interpolation="linear",
     my = map_y.astype(jnp.float32)
 
     if interpolation == "nearest":
-        # OpenCV INTER_NEAREST rounds half up
-        ix = jnp.floor(mx + 0.5).astype(jnp.int32)
-        iy = jnp.floor(my + 0.5).astype(jnp.int32)
+        # OpenCV INTER_NEAREST uses cvRound = round-half-to-EVEN (the
+        # SSE cvtsd path), matching jnp.round — floor(x+0.5) diverged at
+        # exact .5 map coords (2.5 -> 3 here vs cv's 2)
+        ix = jnp.round(mx).astype(jnp.int32)
+        iy = jnp.round(my).astype(jnp.int32)
         if border == "constant":
             valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
             ixc = jnp.clip(ix, 0, w - 1)
@@ -154,5 +156,3 @@ def remap(img, map_x, map_y, *, interpolation="linear",
 
 
 #: Batched planar remap: img [B, C, H, W], maps [B, Ho, Wo] -> [B, C, Ho, Wo].
-remap_planar_batch = jax.vmap(
-    functools.partial(remap_planar), in_axes=(0, 0, 0))
