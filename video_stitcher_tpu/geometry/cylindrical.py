@@ -178,6 +178,15 @@ def plan_band_layout(cams: Sequence[CameraParams], src_w: int, src_h: int,
     if wrap:
         band_w = min(band_w, pano_w)
 
+    # NOTE: windows are centered at scale*yaw with extents detected from
+    # cams[0] — this assumes per-camera u-extents symmetric about the
+    # yaw (true for the centered-principal-point rigs this framework
+    # and the reference target; the 2*gap margin = 6*2^bands px then
+    # absorbs the ~1 px W/2-vs-(W-1)/2 asymmetry). A rig with per-camera
+    # FOV differences or principal-point offsets beyond the gap margin
+    # would clip warped content at the band edge; such rigs need
+    # per-camera extents and (urmin+urmax)/2 centering, like v0 does
+    # for the v axis above.
     centers = [scale * c.yaw for c in cams]
     corners = [_align_down(int(round(ctr - band_w / 2.0)), align) for ctr in centers]
 
