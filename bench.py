@@ -450,8 +450,7 @@ def p_calib():
     cfg = StitcherConfig(num_images=6, input_width=w, input_height=h,
                          enable_local=True, recalibrate=False)
     geom, _ = plan_geometry(cfg)
-    sys.path.insert(0, "tests")
-    from test_stitch_e2e import make_scene, render_views
+    from video_stitcher_tpu.utils.synth import make_scene, render_views
     rng = np.random.default_rng(3)
     scene = make_scene(geom.layout.pano_w, geom.layout.pano_h, rng)
     frames = render_views(cfg, geom, scene)
@@ -597,7 +596,7 @@ def p_psnr():
     import jax.numpy as jnp
     from video_stitcher_tpu import Stitcher
     from video_stitcher_tpu.pipeline.stitcher import stitch_pano
-    from test_stitch_e2e import psnr
+    from video_stitcher_tpu.utils.synth import psnr
 
     st, cfg, geom = CTX["st"], CTX["cfg"], CTX["geom"]
     frames, scene = CTX["frames"], CTX["scene"]

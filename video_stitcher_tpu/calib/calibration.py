@@ -264,6 +264,51 @@ def calibrate(frames: np.ndarray, cfg: StitcherConfig,
     return geom, state, aux
 
 
+def rebuild_aux(cfg: StitcherConfig, geom: StitchGeometry):
+    """The calibration aux dict WITHOUT frames, for loaded checkpoints
+    (Stitcher.load_calibration). Every member except the gains (stored
+    in the CalibState) is a pure function of the configured geometry:
+    seam masks are Voronoi over warp VALIDITY only
+    (calibration.cpp:118-135), never image content. Without this, a
+    loaded calibration had no aux and live recalibration /
+    update_masks / stitch_int16 crashed on first use."""
+    from video_stitcher_tpu.geometry.cylindrical import \
+        band_backward_maps_device
+    from video_stitcher_tpu.utils.hostdev import host_eager
+    _, cams_compose = plan_geometry(cfg)
+    lay = geom.layout
+    with host_eager():
+        sc = _plan_seam_canvas(geom, cfg)
+        seam_w = int(round(cfg.input_width * cfg.seam_scale))
+        seam_h = int(round(cfg.input_height * cfg.seam_scale))
+        canvas_maps, _ = _seam_canvas_maps(geom, sc, cams_compose, cfg)
+        masks = np.stack([
+            _validity(mx, my, seam_w, seam_h).astype(np.uint8) * 255
+            for mx, my in canvas_maps])
+        seam_masks = find_seams(masks, periodic_x=geom.wrap)
+        if cfg.enable_local:
+            seam_masks = np.asarray(dilate3x3(seam_masks.astype(np.float32)))
+    cams_map = map_cams(cfg, cams_compose)
+    band_maps = band_backward_maps_device(lay, cams_map)
+    weights0, overlap_masks = _compose_products_device(
+        jnp.asarray(seam_masks.astype(np.float32)), band_maps,
+        geom=geom, sc=sc)
+    if geom.blend_type == "feather":
+        w0_np = np.asarray(weights0)
+        w = feather_weights((w0_np > 0.5).astype(np.uint8) * 255)
+        weights0 = jnp.asarray(
+            np.where(w0_np > 0, w, 0.0).astype(np.float32))
+    return {
+        "cams_compose": cams_compose,
+        "cams_map": cams_map,
+        "band_maps": band_maps,
+        "weights0": weights0,
+        "seam_masks": seam_masks,
+        "seam_canvas": sc,
+        "overlap_masks": overlap_masks,
+    }
+
+
 def _seam_phase(frames, cfg, geom, cams_compose):
     """Seam-scale host control plane: warps, gain solve, Voronoi seams
     (calibration.cpp:91-135) + the enable_local seam dilation (:208-234)."""

@@ -51,13 +51,13 @@ def save_state(path: str, state: CalibState, extra: dict | None = None) -> None:
     }
     for i, w in enumerate(state.weight_pyr):
         data[f"weight_pyr_{i}"] = np.asarray(w)
-    if state.warp_strip_off is not None:
-        data["warp_strip_off"] = np.asarray(state.warp_strip_off)
-        data["warp_chunk_packed"] = np.asarray(state.warp_chunk_packed)
-        if state.warp_groups is not None:
-            data["warp_groups"] = np.asarray(state.warp_groups)
-    if state.warp_maps_lane is not None:
-        data["warp_maps_lane"] = np.asarray(state.warp_maps_lane)
+    # the strip-plan artifacts (warp_strip_off / chunk_packed / groups /
+    # maps_lane) are NOT persisted: warp_maps_lane is a pure repack of
+    # fused_maps (the largest tensor — saving it doubled the .npz and
+    # pulled a second full D2H copy at save time) and the only load path
+    # (Stitcher.load_calibration -> _plan_warp) unconditionally rebuilds
+    # all four from fused_maps anyway. load_state still READS them from
+    # older checkpoints for compatibility.
     if extra:
         for k, v in extra.items():
             data["extra_" + k] = v

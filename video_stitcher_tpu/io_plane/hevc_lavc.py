@@ -97,7 +97,13 @@ class X265Encoder:
         if not self._enc:
             return b""
         n = self._lib.hevclavc_flush(self._enc, _u8(self._out), self._cap)
-        return self._out[:n].tobytes() if n > 0 else b""
+        if n < 0:
+            # same contract as encode(): a native error (double flush,
+            # tail packets overflowing the output cap) must not be
+            # silently mapped to "no more data" — the stream would lose
+            # its final frames with no log or exception
+            raise RuntimeError("x265 flush failed")
+        return self._out[:n].tobytes()
 
     def close(self) -> None:
         if self._enc:

@@ -24,7 +24,10 @@ class VideoFileSource:
             cap = cv2.VideoCapture(p)
             if not cap.isOpened():
                 raise FileNotFoundError(f"cannot open video {p}")
-            off = skip_frames + (offsets[i] if offsets else 0)
+            # offsets may legitimately be shorter than paths (config
+            # validates it against num_images, never against the file
+            # list): missing entries mean no per-file offset
+            off = skip_frames + (offsets[i] if i < len(offsets) else 0)
             cap.set(cv2.CAP_PROP_POS_FRAMES, off)
             self.caps.append(cap)
 

@@ -135,11 +135,27 @@ def build_sharded_step(geom: StitchGeometry, mesh: Mesh, axis: str = "cam",
             f = 1 << l
             pw = lay.pano_w // f
             ph = lay.pano_h // f
-            pano_l = jnp.zeros((3, ph, pw), dt)
             wl = lap[l] * wpyr[l].astype(dt)
-            for j in range(local_n):
-                corner = corners[me * local_n + j] // f
-                pano_l = _dyn_place(pano_l, wl[j], corner, pw, lay.wrap)
+            if lay.wrap:
+                # widen ONCE per level, fold ONCE after the camera loop:
+                # per-camera _dyn_place re-concatenated and re-folded the
+                # double-width canvas for every camera (O(local_n) extra
+                # full-canvas traffic per level; the per-camera adds
+                # commute with the single linear fold)
+                wide = jnp.zeros((3, ph, 2 * pw), dt)
+                bw = wl.shape[-1]
+                for j in range(local_n):
+                    corner = jnp.mod(corners[me * local_n + j] // f, pw)
+                    cur = jax.lax.dynamic_slice_in_dim(
+                        wide, corner, bw, axis=wide.ndim - 1)
+                    wide = jax.lax.dynamic_update_slice_in_dim(
+                        wide, cur + wl[j], corner, axis=wide.ndim - 1)
+                pano_l = wide[..., :pw] + wide[..., pw:]
+            else:
+                pano_l = jnp.zeros((3, ph, pw), dt)
+                for j in range(local_n):
+                    corner = corners[me * local_n + j] // f
+                    pano_l = _dyn_place(pano_l, wl[j], corner, pw, False)
             acc.append(jax.lax.psum(pano_l, axis))
         out = acc[-1]
         for l in range(levels - 1, -1, -1):
@@ -178,10 +194,10 @@ def build_sharded_step(geom: StitchGeometry, mesh: Mesh, axis: str = "cam",
                        state.valid_mask, corners)
         if out_size is None:
             return pano
-        from video_stitcher_tpu.ops.resize import resize_planar
-        x = jnp.moveaxis(pano, -1, 0).astype(jnp.float32)
-        y = resize_planar(x, out_size[0], out_size[1])
-        return jnp.moveaxis(jnp.clip(jnp.round(y), 0, 255
-                                     ).astype(jnp.uint8), 0, -1)
+        # the single-chip output program: one quantization convention
+        # for both paths (a divergent inline copy here could silently
+        # split single- vs multi-chip output rounding)
+        from video_stitcher_tpu.pipeline.stitcher import output_frame
+        return output_frame(pano, out_size[0], out_size[1])
 
     return step

@@ -373,9 +373,15 @@ class Stitcher:
             warp_maps_lane=repack_maps_lane(mpj),
             warp_groups=gl_d)
         # rotate the plan stats so interpolate_states can build its
-        # endpoint-union plan without ever touching the map tensors
+        # endpoint-union plan without ever touching the map tensors.
+        # WEAK key refs: a strong ref here pinned the previous state's
+        # ~100 MB-class warp_maps_lane in HBM between recalibs purely as
+        # an identity key; a dead weakref can never `is`-match, so the
+        # id-recycling hazard a strong ref guarded against stays closed.
+        import weakref
         self._plan_stats_prev = getattr(self, "_plan_stats_for", None)
-        self._plan_stats_for = (state.warp_maps_lane, plan.stats)
+        self._plan_stats_for = (weakref.ref(state.warp_maps_lane),
+                                plan.stats)
         return state, (plan.sh, plan.whc, plan.slab_w)
 
     def save_calibration(self, path: str) -> None:
@@ -384,10 +390,19 @@ class Stitcher:
     def load_calibration(self, path: str, frames_shape=None) -> None:
         if self.geom is None:
             self.geom, _ = plan_geometry(self.cfg)
+        from video_stitcher_tpu.calib.calibration import rebuild_aux
         from video_stitcher_tpu.utils.hostdev import commit
+        # aux is derivable without frames (seam masks are validity-only
+        # Voronoi); without it, recalibrate_mesh / update_masks /
+        # stitch_int16 crashed on a loaded calibration
+        self.aux = rebuild_aux(self.cfg, self.geom)
         self._warp_static = None
         state, self._warp_static = self._plan_warp(load_state(path))
         self.state = commit(state)
+        # parity-tool snapshot: the checkpoint's state may include a
+        # solved mesh, so this is the closest available stand-in for
+        # the pre-mesh global state (exact after a fresh calibrate())
+        self.state_global = self.state
         self._setup_shard()
         self._install_sharded()
         self._build_step()
@@ -663,11 +678,14 @@ class Stitcher:
         if (new.warp_maps_lane is None or old.warp_maps_lane is None
                 or old.warp_maps_lane.shape != new.warp_maps_lane.shape):
             return out
+        import weakref
         cache = getattr(self, "_interp_plan", None)
-        # cache holds strong refs to the keyed arrays, so an `is` match
-        # can't be an id-recycling false positive
-        if (cache is None or cache[0] is not old.warp_maps_lane
-                or cache[1] is not new.warp_maps_lane):
+        # WEAK key refs: strong keys pinned both endpoints' map tensors
+        # in HBM after the animation ended (until the next animation
+        # replaced them). A dead weakref returns None and can never
+        # `is`-match, so this stays id-recycling-safe.
+        if (cache is None or cache[0]() is not old.warp_maps_lane
+                or cache[1]() is not new.warp_maps_lane):
             from video_stitcher_tpu.ops.remap_strips import (
                 _chunk_stats, plan_strips_from_stats)
             geom = self.geom
@@ -679,7 +697,7 @@ class Stitcher:
                 # plan never touches the ~100 MB map tensors
                 for attr in ("_plan_stats_for", "_plan_stats_prev"):
                     pair = getattr(self, attr, None)
-                    if pair is not None and pair[0] is wml:
+                    if pair is not None and pair[0]() is wml:
                         return pair[1]
                 return _chunk_stats(np.asarray(fused), geom.warp_src_h,
                                     warp_w)
@@ -694,9 +712,11 @@ class Stitcher:
                     min_sh=prev[0], min_whc=prev[1],
                     min_slab_w=prev[2])
                 if (plan.sh, plan.whc, plan.slab_w) == self._warp_static:
-                    so = jnp.asarray(plan.strip_off)
-                    cp = jnp.asarray(plan.chunk_packed)
-                    gl = jnp.asarray(plan.groups)
+                    # ONE batched host->device transfer, like _plan_warp
+                    # (three separate puts cost three tunnel round trips
+                    # per animation on the same latency-sensitive path)
+                    so, cp, gl = jax.device_put(
+                        (plan.strip_off, plan.chunk_packed, plan.groups))
             except (ValueError, AssertionError):
                 pass            # union plan infeasible: snap below
             if so is None:
@@ -707,7 +727,8 @@ class Stitcher:
                 log.info("recalib interp: endpoint-union strip plan needs "
                          "larger window statics than the jitted programs; "
                          "snapping to the new mesh instead of animating")
-            cache = (old.warp_maps_lane, new.warp_maps_lane, so, cp, gl)
+            cache = (weakref.ref(old.warp_maps_lane),
+                     weakref.ref(new.warp_maps_lane), so, cp, gl)
             self._interp_plan = cache
         so, cp, gl = cache[2], cache[3], cache[4]
         if so is None:

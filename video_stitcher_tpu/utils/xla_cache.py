@@ -44,8 +44,12 @@ def enable(writeable: bool = True) -> str:
     """
     import jax
     d = cache_dir()
+    # the WRITE THRESHOLD goes first: if setting it fails we must not
+    # point jax at the checked-in cache at all, or a "read-only"
+    # consumer would grow it with environment-specific blobs. Failures
+    # are logged, not swallowed — a silently-disabled cache shows up as
+    # an unexplained ~80 s cold calibration.
     try:
-        jax.config.update("jax_compilation_cache_dir", d)
         # write EVERY compile, not just slow ones: on a tunneled backend
         # each compile costs host<->device round trips regardless of its
         # XLA time, so dozens of "fast" uncached programs still add
@@ -54,8 +58,12 @@ def enable(writeable: bool = True) -> str:
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           0.0 if writeable else 1e9)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
+        jax.config.update("jax_compilation_cache_dir", d)
+    except Exception as e:          # noqa: BLE001 — jax option drift
+        import logging
+        logging.getLogger("video_stitcher_tpu").warning(
+            "persistent XLA cache NOT enabled (%s: %s) — cold starts "
+            "will compile everything", type(e).__name__, e)
     return d
 
 
@@ -81,9 +89,7 @@ def build_programs(cfg=None, sets=("1080p", "bench", "4k")) -> None:
                              input_height=1080, enable_local=True,
                              recalibrate=False)
     geom, _ = plan_geometry(cfg)
-    import sys
-    sys.path.insert(0, os.path.join(os.path.dirname(_REPO_CACHE), "tests"))
-    from test_stitch_e2e import make_scene, render_views
+    from video_stitcher_tpu.utils.synth import make_scene, render_views
     rng = np.random.default_rng(3)
     scene = make_scene(geom.layout.pano_w, geom.layout.pano_h, rng)
     frames = render_views(cfg, geom, scene)
