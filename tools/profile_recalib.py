@@ -54,7 +54,6 @@ def main():
                          **kw)
     geom, _ = plan_geometry(cfg)
 
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
     from video_stitcher_tpu.utils.synth import make_scene, render_views
     rng = np.random.default_rng(3)
     scene = make_scene(geom.layout.pano_w, geom.layout.pano_h, rng)
