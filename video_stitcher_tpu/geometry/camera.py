@@ -56,5 +56,9 @@ def fixed_rig_cameras(num_images: int, width: int, height: int,
     focal = ppx / math.tan(math.radians(fov_deg) / 2.0)
     if yaws is None:
         yaws = [2.0 * math.pi * i / num_images for i in range(num_images)]
+    elif len(yaws) != num_images:
+        # a silent mismatch only surfaced later as a far-away shape
+        # error (frames are asserted against cfg.num_images)
+        raise ValueError(f"{len(yaws)} yaws for {num_images} cameras")
     return [CameraParams(focal=focal, ppx=ppx, ppy=ppy, yaw=float(y))
             for y in yaws]

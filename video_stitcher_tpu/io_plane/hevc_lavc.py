@@ -79,6 +79,8 @@ class X265Encoder:
         self._out = np.empty(self._cap, np.uint8)
 
     def encode(self, i420_bytes: bytes) -> bytes:
+        if not self._enc:
+            raise RuntimeError("encoder closed")   # NULL would segfault
         expect = self.w * self.h * 3 // 2
         if len(i420_bytes) != expect:
             raise ValueError(f"I420 frame is {len(i420_bytes)} B, "

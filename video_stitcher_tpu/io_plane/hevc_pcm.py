@@ -205,18 +205,18 @@ def _ep_escape(rbsp: bytes) -> bytes:
     cand = np.nonzero(z[:-2] & z[1:-1] & (a[2:] <= 3))[0] + 2
     if not len(cand):
         return rbsp
-    out = bytearray()
-    prev = 0
-    last = -10
-    for i in cand:
-        if i == last + 1:       # the escape at i-1 broke this zero pair
-            continue
-        out += rbsp[prev:i]
-        out.append(3)
-        prev = i
-        last = i
-    out += rbsp[prev:]
-    return bytes(out)
+    # an inserted escape breaks the zero pair spanning it, so within
+    # each maximal run of CONSECUTIVE candidate positions only every
+    # other one needs an escape. Fully vectorized: a Python per-
+    # candidate loop degenerated on zero-heavy frames (large exact-zero
+    # pano regions -> millions of candidates on a dark 4K I420 frame)
+    n = len(cand)
+    breaks = np.nonzero(np.diff(cand) > 1)[0] + 1        # run starts
+    first = np.concatenate([[0], breaks])
+    counts = np.diff(np.concatenate([first, [n]]))
+    pos_in_run = np.arange(n) - np.repeat(first, counts)
+    kept = cand[pos_in_run % 2 == 0]
+    return np.insert(a, kept, np.uint8(3)).tobytes()
 
 
 def _nal(nal_type: int, rbsp: bytes) -> bytes:
@@ -481,6 +481,11 @@ class NativePcmHevcEncoder:
         self._out = np.empty(self._cap, np.uint8)
 
     def encode(self, i420_bytes: bytes) -> bytes:
+        if self._enc is None:
+            # egress close()/reconnect clears encoders from another
+            # thread; a NULL handle into native code would segfault the
+            # whole process instead of raising a catchable error
+            raise RuntimeError("encoder closed")
         expect = self.w * self.h * 3 // 2
         if len(i420_bytes) != expect:
             raise ValueError(f"I420 frame is {len(i420_bytes)} B, "

@@ -541,7 +541,7 @@ def repack_maps_lane(maps):
 
 
 def _kernel(strip_off, chunk_packed, groups, gains, src_hbm, map_ref,
-            out_ref, strip, sem, *, sh, whc, slab_w, ncc, channels,
+            out_ref, strip, sem, *, sh, whc, slab_w, channels,
             n_cam, n_rb, n_maps):
     cam = pl.program_id(0)
     rb = pl.program_id(1)
@@ -808,7 +808,7 @@ def remap_strips(src_planar, maps_lane, strip_off, chunk_packed, groups, *,
         ],
     )
     kernel = functools.partial(_kernel, sh=sh, whc=whc, slab_w=slab_w,
-                               ncc=ncc, channels=ch, n_cam=n, n_rb=nrb,
+                               channels=ch, n_cam=n, n_rb=nrb,
                                n_maps=n_maps)
     # the double-buffered strip scratch alone can exceed Mosaic's default
     # 16 MB scoped-vmem limit at 4K+ sources (2*C*sh*W bf16); size the

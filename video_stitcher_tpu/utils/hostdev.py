@@ -56,6 +56,12 @@ def commit(tree):
                     return x
             except Exception:
                 pass
-        return jax.device_put(np.asarray(x))
+        # EXPLICIT target device: a bare device_put follows the ambient
+        # default, so a commit() issued inside a host_eager() /
+        # jax.default_device(cpu) scope would silently place the state
+        # on CPU while the resident check above compared against the
+        # accelerator — exactly the slow-access pattern this module
+        # exists to prevent
+        return jax.device_put(np.asarray(x), default)
 
     return jax.tree_util.tree_map(leaf, tree)

@@ -15,6 +15,11 @@ class StageTimers:
     def __init__(self, stages: List[str]):
         self.sums: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+        # pre-seed so summary() keeps the declared order and a stage
+        # that never ran shows as 0.0ms instead of silently missing
+        for s in stages:
+            self.sums[s] += 0.0
+            self.counts[s] += 0
 
     @contextlib.contextmanager
     def time(self, stage: str):
