@@ -44,6 +44,13 @@ def luma_series(path: str, n_frames: int, step: int = 1) -> np.ndarray:
 
 def best_lag(a: np.ndarray, b: np.ndarray, max_lag: int) -> int:
     """Lag of b relative to a maximizing correlation of diff series."""
+    if len(a) < 9 or len(b) < 9:
+        # cv2.VideoCapture never raises on a bad path — it just yields
+        # zero frames; without this, auto mode printed confidently
+        # WRONG offsets [0, ...] for an unreadable/typo'd video
+        raise ValueError(
+            f"too few readable frames for alignment ({len(a)}/{len(b)})"
+            " — check the video paths")
     da = np.diff(a)
     db = np.diff(b)
     best, arg = -np.inf, 0
@@ -62,6 +69,9 @@ def best_lag(a: np.ndarray, b: np.ndarray, max_lag: int) -> int:
         c = float(np.dot(x - x.mean(), y - y.mean()) / (n * sx * sy))
         if c > best:
             best, arg = c, lag
+    if best == -np.inf:
+        raise ValueError("correlation undefined at every lag "
+                         "(constant-luma or too-short videos)")
     return arg
 
 

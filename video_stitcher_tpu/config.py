@@ -209,6 +209,17 @@ class StitcherConfig:
         if self.map_convention not in ("exact", "reference"):
             raise ValueError(
                 f"unknown map_convention {self.map_convention!r}")
+        if len(self.alphas) != 4:
+            # the CPW solve indexes alphas[0..3] (defs.h ALPHAS[4]); a
+            # short CLI/JSON list otherwise crashed the recalib thread
+            # mid-run with IndexError instead of failing at parse time
+            raise ValueError(f"alphas needs 4 entries, got "
+                             f"{len(self.alphas)}")
+        if self.pipeline_mode not in ("auto", "inline", "threaded"):
+            # a typo otherwise silently fell back to the auto heuristic,
+            # ignoring the user's explicit choice
+            raise ValueError(
+                f"unknown pipeline_mode {self.pipeline_mode!r}")
 
     # --- scale math (360_stitcher/calibration.cpp:269-281,147-153) ---
     @property
@@ -223,6 +234,8 @@ class StitcherConfig:
 
     @property
     def seam_scale(self) -> float:
+        if self.seam_megapix < 0:      # same full-res convention as
+            return 1.0                 # work/compose (negative ** 0.5
         return min(1.0, (self.seam_megapix * 1e6 / self.full_area) ** 0.5)
 
     @property

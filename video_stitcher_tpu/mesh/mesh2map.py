@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from video_stitcher_tpu.ops.remap import remap_planar
-from video_stitcher_tpu.ops.resize import _interp_matrix
 
 
 @functools.lru_cache(maxsize=64)

@@ -18,6 +18,12 @@ import numpy as np
 def _as_u8_rgb(img) -> np.ndarray:
     a = np.asarray(img)
     if a.dtype != np.uint8:
+        if np.issubdtype(a.dtype, np.floating) and a.size \
+                and float(np.nanmax(a)) <= 1.5:
+            # [0,1]-normalized float input (matplotlib/jax convention):
+            # clipping to [0,255] and casting rendered it {0,1} — an
+            # all-black debug image with no error
+            a = a * 255.0
         a = np.clip(a, 0, 255).astype(np.uint8)
     if a.ndim == 2:
         a = np.stack([a] * 3, axis=-1)
@@ -117,7 +123,11 @@ def save(path: str, img) -> None:
     rgb = _as_u8_rgb(img)
     try:
         import cv2
-        cv2.imwrite(path, rgb[..., ::-1])
+        # imwrite reports failure (unwritable dir, disk full) by
+        # RETURNING False, not raising — treat it as one so the pillow
+        # fallback runs and a real failure surfaces
+        if not cv2.imwrite(path, rgb[..., ::-1]):
+            raise IOError(f"cv2.imwrite failed for {path}")
     except Exception:
         from PIL import Image                 # pillow fallback
         Image.fromarray(rgb).save(path)
