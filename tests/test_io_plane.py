@@ -473,18 +473,23 @@ def test_runner_framed_ingest_fault_recovery(tmp_path, monkeypatch):
     assert total_skipped >= 1333, stats
 
 
-def test_debug_order_reconnect_reuses_freed_slot():
+@pytest.mark.parametrize("backend", ["python", "native"])
+def test_debug_order_reconnect_reuses_freed_slot(backend):
     """Accept-order mode: fresh slots go out in accept order, and once
     all n are used a dropped board's reconnect takes the freed slot
     instead of being rejected forever (review r5 — the old counter kept
-    incrementing past n)."""
+    incrementing past n; the native server had the same bug)."""
+    if backend == "native":
+        from video_stitcher_tpu.io_plane import native
+        if native.load() is None:
+            pytest.skip("native lib unavailable")
     tmp = socket.socket()
     tmp.bind(("127.0.0.1", 0))
     port = tmp.getsockname()[1]
     tmp.close()
     cfg = StitcherConfig(num_images=2, capture_img_width=32,
                          capture_img_height=24, capture_tcp_port=port)
-    ing = CaptureIngest(cfg, backend="python")
+    ing = CaptureIngest(cfg, backend=backend)
     assert ing.debug_order        # cfg.capture_debug_order default
     ing.start()
     try:

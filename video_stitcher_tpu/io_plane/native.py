@@ -72,7 +72,10 @@ def load_or_build(lib_name: str,
             try:
                 lib = ctypes.CDLL(path)
                 configure(lib)
-            except OSError:
+            except (OSError, AttributeError):
+                # AttributeError = a prebuilt .so missing a newly-added
+                # symbol (older ABI, no compiler to rebuild): degrade to
+                # the pure-Python paths instead of crashing the caller
                 lib = None
         _cache[lib_name] = lib
         return lib

@@ -91,6 +91,13 @@ void *hevclavc_create(int w, int h, int fps, int bitrate_kbps, int crf,
     }
     e->frame = av_frame_alloc();
     e->pkt = av_packet_alloc();
+    if (!e->frame || !e->pkt) {          // alloc failure: fall back to
+        if (e->frame) av_frame_free(&e->frame);   // the I_PCM encoder
+        if (e->pkt) av_packet_free(&e->pkt);      // instead of a segfault
+        avcodec_free_context(&e->ctx);
+        delete e;
+        return nullptr;
+    }
     e->frame->format = AV_PIX_FMT_YUV420P;
     e->frame->width = w;
     e->frame->height = h;
@@ -278,9 +285,32 @@ long hevclavc_dec_flush(void *h) {
     if (psize > 0) {
         d->pkt->data = pdata;
         d->pkt->size = psize;
-        if (avcodec_send_packet(d->ctx, d->pkt) < 0) return -1;
+        for (;;) {
+            int r = avcodec_send_packet(d->ctx, d->pkt);
+            if (r == 0) break;
+            if (r != AVERROR(EAGAIN)) return -1;
+            // decoder full (pending undrained frames — the documented
+            // feed-then-flush-then-poll order): drain into the queue
+            // like dec_feed, don't report the final AU as an error
+            AVFrame *g = av_frame_alloc();
+            if (!g || avcodec_receive_frame(d->ctx, g) < 0) {
+                if (g) av_frame_free(&g);
+                return -1;
+            }
+            d->q.push_back(g);
+        }
     }
-    if (avcodec_send_packet(d->ctx, nullptr) < 0) return -1;
+    for (;;) {
+        int r = avcodec_send_packet(d->ctx, nullptr);
+        if (r == 0) break;
+        if (r != AVERROR(EAGAIN)) return -1;
+        AVFrame *g = av_frame_alloc();
+        if (!g || avcodec_receive_frame(d->ctx, g) < 0) {
+            if (g) av_frame_free(&g);
+            return -1;
+        }
+        d->q.push_back(g);
+    }
     d->draining = true;
     return 0;
 }

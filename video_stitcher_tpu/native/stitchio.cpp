@@ -135,9 +135,12 @@ class CaptureServer {
         addr.sin_addr.s_addr = INADDR_ANY;
         addr.sin_port = htons(static_cast<uint16_t>(port_));
         if (bind(listen_fd_, reinterpret_cast<sockaddr*>(&addr),
-                 sizeof(addr)) < 0)
+                 sizeof(addr)) < 0 ||
+            listen(listen_fd_, num_cams_) < 0) {
+            ::close(listen_fd_);       // no destructor: a failed start
+            listen_fd_ = -1;           // must not leak the socket
             return false;
-        if (listen(listen_fd_, num_cams_) < 0) return false;
+        }
         running_ = true;
         accept_thread_ = std::thread([this] { acceptLoop(); });
         return true;
@@ -151,13 +154,20 @@ class CaptureServer {
             listen_fd_ = -1;
         }
         for (auto& q : queues_) q->close();
-        for (int fd : client_fds_) {
-            ::shutdown(fd, SHUT_RDWR);
-            ::close(fd);
+        {
+            // shutdown (NOT close) under the lock: recvLoops close and
+            // deregister their own fd on exit — closing here raced them
+            // (double-close of a possibly-recycled fd number) and the
+            // unlocked iteration raced acceptLoop's push_back (UB)
+            std::lock_guard<std::mutex> lk(mu_);
+            for (int fd : client_fds_) ::shutdown(fd, SHUT_RDWR);
         }
         if (accept_thread_.joinable()) accept_thread_.join();
         for (auto& t : client_threads_)
             if (t.joinable()) t.join();
+        std::lock_guard<std::mutex> lk(mu_);
+        for (int fd : client_fds_) ::close(fd);   // none expected
+        client_fds_.clear();
     }
 
     bool popFrame(int cam, uint8_t* out, int timeout_ms) {
@@ -187,7 +197,6 @@ class CaptureServer {
 
   private:
     void acceptLoop() {
-        int order = 0;
         while (running_) {
             sockaddr_in peer{};
             socklen_t len = sizeof(peer);
@@ -201,7 +210,21 @@ class CaptureServer {
             // order in debug mode (networking.cpp:83-86)
             int slot;
             if (debug_order_) {
-                slot = order;
+                // fresh slots in accept order first, then a dropped
+                // board's reconnect takes the lowest freed slot (the
+                // old ever-incrementing counter rejected rejoins
+                // forever; mirrors io_plane/ingest.py)
+                std::lock_guard<std::mutex> lk(mu_);
+                if (next_slot_ < num_cams_) {
+                    slot = next_slot_++;
+                } else if (!free_slots_.empty()) {
+                    auto it = std::min_element(free_slots_.begin(),
+                                               free_slots_.end());
+                    slot = *it;
+                    free_slots_.erase(it);
+                } else {
+                    slot = -1;
+                }
             } else {
                 uint32_t ip = ntohl(peer.sin_addr.s_addr);
                 slot = static_cast<int>(ip & 0xFF) - client_addr_start_;
@@ -210,7 +233,6 @@ class CaptureServer {
                 ::close(fd);
                 continue;
             }
-            ++order;
             clients_.fetch_add(1);
             {
                 std::lock_guard<std::mutex> lk(mu_);
@@ -219,6 +241,20 @@ class CaptureServer {
                     [this, fd, slot] { recvLoop(fd, slot); });
             }
         }
+    }
+
+    // Recv-loop exit: close + deregister the fd and (debug-order mode)
+    // return the slot so a reconnecting board can rejoin.
+    void releaseClient(int fd, int slot) {
+        ::close(fd);
+        std::lock_guard<std::mutex> lk(mu_);
+        client_fds_.erase(
+            std::remove(client_fds_.begin(), client_fds_.end(), fd),
+            client_fds_.end());
+        if (debug_order_ &&
+            std::find(free_slots_.begin(), free_slots_.end(), slot) ==
+                free_slots_.end())
+            free_slots_.push_back(slot);
     }
 
     // Framed reassembly with magic-scan resync (see kFrameMagic above).
@@ -266,7 +302,10 @@ class CaptureServer {
                     st.bytes_skipped.fetch_add(
                         static_cast<long>(it - pending.begin()));
                     pending.erase(pending.begin(), it);
-                    in_desync = false;
+                    // in_desync stays set until a VALIDATED header is
+                    // consumed below (a false magic inside skipped
+                    // garbage must not count a second desync event —
+                    // pinned by the Python twin, ingest.py)
                     continue;
                 }
                 if (pending.size() < kHeaderBytes + frame_bytes_) break;
@@ -291,7 +330,7 @@ class CaptureServer {
                 st.frames_ok.fetch_add(1);
             }
         }
-        ::close(fd);
+        releaseClient(fd, slot);
         clients_.fetch_sub(1);
     }
 
@@ -329,7 +368,7 @@ class CaptureServer {
                 }
             }
         }
-        ::close(fd);
+        releaseClient(fd, slot);
         clients_.fetch_sub(1);
     }
 
@@ -346,6 +385,8 @@ class CaptureServer {
     std::mutex mu_;
     std::vector<std::unique_ptr<FrameQueue>> queues_;
     std::vector<int> client_fds_;
+    int next_slot_ = 0;
+    std::vector<int> free_slots_;
     std::vector<std::thread> client_threads_;
     std::thread accept_thread_;
 };
